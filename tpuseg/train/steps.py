@@ -1,0 +1,121 @@
+"""Jitted train/eval steps.
+
+The reference's per-replica ``train_step`` (model.py:204-228) — forward,
+CCE loss, backward, Adam update, metric update — becomes **one** jit-compiled
+XLA program with donated state: forward+backward+optimizer fuse into a single
+device launch, no Python between micro-ops, no host<->device sync except the
+scalar metrics the driver chooses to read.
+
+Learning-rate warmup (train.py:126-132 sets lr/10 for the first epoch) is a
+traced scalar carried in the train state, so changing it does NOT recompile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpuseg.models.unet import UNet
+from tpuseg.ops.losses import categorical_accuracy, cce_from_logits, reference_scalar_loss
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    lr: jax.Array  # traced: warmup changes don't recompile
+    rng: jax.Array
+
+
+def make_optimizer() -> optax.GradientTransformation:
+    """Adam with Keras defaults (b1=0.9, b2=0.999, eps=1e-7; model.py:79) and
+    a runtime-injected learning rate."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=0.0, eps=1e-7)
+
+
+def create_train_state(model: UNet, rng: jax.Array, num_channels: int, learning_rate: float,
+                       spatial=(16, 16)) -> TrainState:
+    init_rng, state_rng = jax.random.split(rng)
+    dummy = jnp.zeros((1, spatial[0], spatial[1], num_channels), jnp.float32)
+    variables = model.init({"params": init_rng}, dummy, train=False)
+    tx = make_optimizer()
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        lr=jnp.asarray(learning_rate, jnp.float32),
+        rng=state_rng,
+    )
+
+
+def train_step(model: UNet, tx: optax.GradientTransformation, state: TrainState,
+               images: jax.Array, labels: jax.Array, label_smoothing: float = 0.0,
+               ) -> Tuple[TrainState, dict]:
+    """One fused optimization step.
+
+    images: [N,H,W,C] float32 (already normalized); labels: [N,H,W,classes]
+    one-hot. Loss scaling follows model.py:211-215 with global batch = N.
+    """
+    rng, dropout_rng = jax.random.split(state.rng)
+    global_batch = images.shape[0]
+
+    def loss_fn(params):
+        logits, updates = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            images, train=True,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"],
+        )
+        per_pixel = cce_from_logits(logits, labels, label_smoothing)
+        loss = reference_scalar_loss(per_pixel, global_batch)
+        return loss, (logits, updates["batch_stats"])
+
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    opt_state = state.opt_state
+    # inject_hyperparams exposes the lr as a leaf we overwrite each step.
+    opt_state.hyperparams["learning_rate"] = state.lr
+    updates, new_opt_state = tx.update(grads, opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    metrics = {
+        "loss": loss,
+        "accuracy": categorical_accuracy(logits, labels),
+    }
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt_state,
+        rng=rng,
+    )
+    return new_state, metrics
+
+
+def eval_step(model: UNet, state: TrainState, images: jax.Array, labels: jax.Array,
+              label_smoothing: float = 0.0) -> dict:
+    """model.py:237-250: forward in inference mode, same loss scaling."""
+    logits = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        images, train=False,
+    )
+    per_pixel = cce_from_logits(logits, labels, label_smoothing)
+    loss = reference_scalar_loss(per_pixel, images.shape[0])
+    return {"loss": loss, "accuracy": categorical_accuracy(logits, labels)}
+
+
+def make_jitted_steps(model: UNet, label_smoothing: float = 0.0):
+    """Single-device jitted (train_step, eval_step) pair with donated state."""
+    tx = make_optimizer()
+    tstep = jax.jit(
+        functools.partial(train_step, model, tx, label_smoothing=label_smoothing),
+        donate_argnums=(0,),
+    )
+    estep = jax.jit(functools.partial(eval_step, model, label_smoothing=label_smoothing))
+    return tstep, estep
