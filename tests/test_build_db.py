@@ -1,0 +1,84 @@
+"""Dataset builder tests against the bundled NIST corpus semantics."""
+
+import numpy as np
+import pytest
+
+from tpuseg.data.build_db import (
+    build_databases,
+    deserialize_image_mask_pair,
+    enforce_size_multiple,
+    process_slide_tiling,
+    serialize_image_mask_pair,
+)
+from tpuseg.data.recordstore import RecordReader
+
+REF_IMAGES = "/root/reference/data/images"
+REF_MASKS = "/root/reference/data/masks"
+
+
+def test_serialize_roundtrip():
+    img = np.arange(32 * 48, dtype=np.uint16).reshape(32, 48)
+    msk = (img % 2).astype(np.uint8)
+    buf = serialize_image_mask_pair(img, msk)
+    img2, msk2 = deserialize_image_mask_pair(buf)
+    assert img2.shape == (32, 48, 1)  # 2D images get a channel dim (build_lmdb.py:39-41)
+    np.testing.assert_array_equal(img2[..., 0], img)
+    np.testing.assert_array_equal(msk2, msk)
+    assert img2.dtype == np.uint16 and msk2.dtype == np.uint8
+
+
+def test_enforce_size_multiple():
+    img = np.random.default_rng(0).random((37, 50))
+    out = enforce_size_multiple(img)
+    assert out.shape == (32, 48)
+    # center crop: floor(dh/2) rows dropped from top (build_lmdb.py:76)
+    np.testing.assert_array_equal(out, img[2:34, 1:49])
+
+
+def test_tiling_grid_and_keys():
+    h = w = 300
+    img = np.random.default_rng(1).integers(0, 65535, (h, w), dtype=np.uint16)
+    msk = np.zeros((h, w), dtype=np.uint8)
+    msk[:100, :] = 1
+    tiles, mtiles, keys = process_slide_tiling(img, msk, 128, "blk")
+    # stride = 128 - 96 = 32; starts at 0,32,...,288 => 10 per axis, slid to fit
+    assert len(tiles) == 100
+    assert all(t.shape == (128, 128) for t in tiles)
+    # keys carry y,x start and present classes
+    assert keys[0] == "blk_i0_j0:0,1"  # rows 0-127 span the 1-region (<100) and 0-region
+    # an edge box is slid inward: start 288 -> 172
+    assert any("_i172_" in k for k in keys)
+    for t, m, k in zip(tiles, mtiles, keys):
+        classes = k.split(":")[1].split(",")
+        np.testing.assert_array_equal(np.unique(m), np.array(sorted(int(c) for c in classes)))
+
+
+@pytest.fixture(scope="module")
+def built_dbs(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("dbs"))
+    return build_databases(REF_IMAGES, REF_MASKS, out, "smoke", train_fraction=0.8, seed=42)
+
+
+def test_build_on_bundled_corpus(built_dbs):
+    train_db, test_db = built_dbs
+    rtrain = RecordReader(train_db)
+    rtest = RecordReader(test_db)
+    assert len(rtrain) == 80 and len(rtest) == 20
+    img, msk = deserialize_image_mask_pair(rtrain.get_at(0))
+    assert img.shape == (256, 256, 1) and img.dtype == np.uint16
+    assert msk.shape == (256, 256) and msk.dtype == np.uint8
+    assert set(np.unique(msk)) <= {0, 1}
+    # keys end with the present-class list
+    key = rtrain.keys()[0].decode()
+    assert key.split(":")[1] in ("0", "1", "0,1")
+    rtrain.close()
+    rtest.close()
+
+
+def test_manifest_written(built_dbs):
+    import os
+
+    train_db, _ = built_dbs
+    with open(os.path.join(train_db, "img_filenames.csv")) as f:
+        names = [line.strip() for line in f if line.strip()]
+    assert len(names) == 80 and names[0].endswith(".tif")

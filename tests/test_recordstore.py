@@ -1,0 +1,70 @@
+"""tsrstore tests: roundtrip, sorted-key iteration, native/Python format parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpuseg.data.recordstore import RecordReader, RecordWriter, load_native
+
+
+def _fill(db, use_native):
+    w = RecordWriter(db, use_native=use_native)
+    w.put(b"banana:1", b"yellow" * 100)
+    w.put(b"apple:0,1", b"red")
+    w.put(b"cherry:2", b"")
+    w.close()
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_roundtrip_and_sorted_keys(tmp_path, use_native):
+    if use_native and load_native() is None:
+        pytest.skip("native lib unavailable")
+    db = str(tmp_path / "db")
+    _fill(db, use_native)
+    r = RecordReader(db, use_native=use_native)
+    assert len(r) == 3
+    # sorted iteration = LMDB cursor parity
+    assert r.keys() == [b"apple:0,1", b"banana:1", b"cherry:2"]
+    assert r.get(b"banana:1") == b"yellow" * 100
+    assert r.get(b"apple:0,1") == b"red"
+    assert r.get(b"cherry:2") == b""
+    assert r.get_at(0) == b"red"
+    with pytest.raises(KeyError):
+        r.get(b"missing")
+    r.close()
+
+
+def test_cross_impl_format_compat(tmp_path):
+    """Python writer -> native reader and vice versa: identical on-disk format."""
+    if load_native() is None:
+        pytest.skip("native lib unavailable")
+    db_py = str(tmp_path / "py")
+    _fill(db_py, use_native=False)
+    r = RecordReader(db_py, use_native=True)
+    assert r.keys() == [b"apple:0,1", b"banana:1", b"cherry:2"]
+    assert r.get(b"banana:1") == b"yellow" * 100
+    r.close()
+
+    db_nat = str(tmp_path / "nat")
+    _fill(db_nat, use_native=True)
+    r = RecordReader(db_nat, use_native=False)
+    assert r.keys() == [b"apple:0,1", b"banana:1", b"cherry:2"]
+    assert r.get(b"cherry:2") == b""
+    r.close()
+
+
+def test_missing_database_message(tmp_path):
+    with pytest.raises(IOError, match="Missing Database"):
+        RecordReader(str(tmp_path / "nope"))
+
+
+def test_large_values(tmp_path):
+    db = str(tmp_path / "big")
+    big = np.random.default_rng(0).integers(0, 255, size=2_000_000, dtype=np.uint8).tobytes()
+    w = RecordWriter(db)
+    w.put(b"k", big)
+    w.close()
+    r = RecordReader(db)
+    assert r.get(b"k") == big
+    r.close()

@@ -1,0 +1,300 @@
+"""Parallel data engine: multiprocess readers over a tsrstore database.
+
+Re-implements the reference ``imagereader.ImageReader`` (imagereader.py:77-355)
+with the same process model — N forked worker processes, each with its own
+zero-copy view of the store, feeding a bounded output queue with starvation
+telemetry — plus a TPU-oriented **raw mode** where workers ship compact raw
+(uint16/uint8) samples and augmentation/normalize/one-hot run fused on device
+inside the train step (tpuseg.aug.device), cutting IPC bytes ~10x and host
+CPU to near zero.
+
+Sampling policies (imagereader.py:209-243):
+- shuffle + balance_classes: uniform class draw (re-drawn while a class has
+  no examples), then uniform member of that class;
+- shuffle only: uniform over all keys;
+- no shuffle: deterministic worker-strided walk, ``key_idx += num_workers
+  (mod N)`` starting at the worker id — same interleave as the reference.
+
+Augmentation severities are constructor parameters (promoted from the
+reference's hard-coded class attributes, imagereader.py:79-85; README.md:176-189
+documents editing the source as the only way to change them there).
+"""
+
+from __future__ import annotations
+
+import multiprocessing
+import queue as pyqueue
+import random
+import traceback
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from tpuseg import SIZE_FACTOR
+from tpuseg.aug.host import augment_image
+from tpuseg.data.build_db import deserialize_image_mask_pair
+from tpuseg.data.preprocess import one_hot_labels, zscore_normalize
+from tpuseg.data.recordstore import RecordReader
+
+
+@dataclass(frozen=True)
+class AugmentParams:
+    """Reference defaults from imagereader.py:79-85."""
+
+    reflection_flag: bool = True
+    rotation_flag: bool = True
+    jitter_augmentation_severity: float = 0.1  # fraction of the FOV
+    noise_augmentation_severity: float = 0.02  # fraction of dynamic range
+    scale_augmentation_severity: float = 0.1
+    blur_max_sigma: float = 2.0  # pixels
+    intensity_augmentation_severity: Optional[float] = None
+
+
+class ImageReader:
+    def __init__(
+        self,
+        img_db: str,
+        use_augmentation: bool = True,
+        balance_classes: bool = False,
+        shuffle: bool = True,
+        num_workers: int = 1,
+        number_classes: int = 2,
+        augment_params: AugmentParams = AugmentParams(),
+        queue_depth_per_worker: int = 100,  # imagereader.py:100
+        raw_mode: bool = False,
+        layout: str = "nchw",  # reference contract; "nhwc" for the TPU path
+        seed: Optional[int] = None,
+    ):
+        self.image_db = img_db
+        self.use_augmentation = use_augmentation
+        self.balance_classes = balance_classes
+        self.shuffle = shuffle
+        self.nb_workers = num_workers
+        self.nb_classes = number_classes
+        self.augment_params = augment_params
+        self.raw_mode = raw_mode
+        if layout not in ("nchw", "nhwc"):
+            raise ValueError(f"layout must be 'nchw' or 'nhwc', got {layout}")
+        self.layout = layout
+        self.seed = seed
+
+        self.queue_starvation = False
+        self.maxOutQSize = num_workers * queue_depth_per_worker
+        self.workers: Optional[list] = None
+        self.done = False
+
+        self.terminateQ: multiprocessing.Queue = multiprocessing.Queue(maxsize=self.nb_workers)
+        self.outQ: multiprocessing.Queue = multiprocessing.Queue(maxsize=self.maxOutQSize)
+        self.idQ: multiprocessing.Queue = multiprocessing.Queue(maxsize=self.nb_workers)
+
+        # probe the database: image geometry, %16 contract, key index
+        store = RecordReader(self.image_db)
+        try:
+            self.keys_flat: List[bytes] = store.keys()
+            if not self.keys_flat:
+                raise IOError(f"empty database: {img_db}")
+            img, _ = deserialize_image_mask_pair(store.get_at(0))
+            self.image_size = [img.shape[0], img.shape[1], img.shape[2]]
+            if self.image_size[0] % SIZE_FACTOR != 0 or self.image_size[1] % SIZE_FACTOR != 0:
+                raise IOError(
+                    "Input Image tile height needs to be a multiple of 16 to allow "
+                    "integer sized downscaled feature maps. Input images should be "
+                    "either HW or HWC dimension ordering")
+
+            # per-class key index for balanced sampling (imagereader.py:141-154)
+            self.keys: List[List[bytes]] = [[]]
+            if self.balance_classes:
+                for key in self.keys_flat:
+                    present = key.decode("ascii").split(":")[1].split(",")
+                    for k_str in present:
+                        k = int(k_str)
+                        while len(self.keys) <= k:
+                            self.keys.append([])
+                        self.keys[k].append(key)
+        finally:
+            store.close()
+
+        print(f"Dataset has {len(self.keys_flat)} examples")
+        if self.balance_classes:
+            print("Dataset Example Count by Class:")
+            for i, ks in enumerate(self.keys):
+                print(f"  class: {i} count: {len(ks)}")
+
+    # --- geometry accessors (imagereader.py:161-173) ---
+
+    def get_image_count(self) -> int:
+        return len(self.keys_flat)
+
+    def get_image_size(self):
+        return self.image_size
+
+    def get_image_tensor_shape(self):
+        if self.layout == "nchw":
+            return [self.image_size[2], self.image_size[0], self.image_size[1]]
+        return [self.image_size[0], self.image_size[1], self.image_size[2]]
+
+    def get_label_tensor_shape(self):
+        return [self.image_size[0], self.image_size[1]]
+
+    # --- worker lifecycle (imagereader.py:175-207) ---
+
+    def startup(self) -> None:
+        self.workers = None
+        self.done = False
+        for i in range(self.nb_workers):
+            self.idQ.put(i)
+        self.workers = [
+            multiprocessing.Process(target=self._image_loader) for _ in range(self.nb_workers)
+        ]
+        for w in self.workers:
+            w.start()
+
+    def shutdown(self) -> None:
+        if not self.workers:
+            return
+        for _ in self.workers:
+            self.terminateQ.put(None)
+        nb_none_received = 0
+        while nb_none_received < len(self.workers):
+            try:
+                while True:
+                    val = self.outQ.get_nowait()
+                    if val is None:
+                        nb_none_received += 1
+            except pyqueue.Empty:
+                pass
+        for w in self.workers:
+            w.join()
+        self.workers = None
+
+    # --- sampling (imagereader.py:209-243) ---
+
+    def _next_index(self, rng: random.Random) -> int:
+        """Index into keys_flat for the next sample."""
+        if self.shuffle:
+            if self.balance_classes:
+                label_idx = rng.randint(0, self.nb_classes - 1)
+                try:
+                    nb_examples = len(self.keys[label_idx])
+                except IndexError:
+                    print("ImageReader Error: Number of classes specified differs "
+                          "from number of observed classes in data")
+                    raise
+                while nb_examples == 0:
+                    label_idx = rng.randint(0, self.nb_classes - 1)
+                    nb_examples = len(self.keys[label_idx])
+                key = self.keys[label_idx][rng.randint(0, nb_examples - 1)]
+                return self._key_pos[key]
+            return rng.randint(0, len(self.keys_flat) - 1)
+        idx = self.key_idx
+        self.key_idx = (self.key_idx + self.nb_workers) % len(self.keys_flat)
+        return idx
+
+    @property
+    def _key_pos(self):
+        pos = getattr(self, "_key_pos_cache", None)
+        if pos is None:
+            pos = {k: i for i, k in enumerate(self.keys_flat)}
+            self._key_pos_cache = pos
+        return pos
+
+    # --- the worker hot loop (imagereader.py:245-325) ---
+
+    def _image_loader(self) -> None:
+        termination = False
+        worker_id = self.idQ.get()
+        self.key_idx = worker_id  # stride start for the no-shuffle walk
+        try:
+            store = RecordReader(self.image_db)  # own zero-copy view per process
+            rng = random.Random(None if self.seed is None else self.seed + worker_id)
+            nprng = np.random.default_rng(None if self.seed is None else self.seed + worker_id)
+            ap = self.augment_params
+
+            while not termination:
+                try:
+                    if self.terminateQ.get_nowait() is None:
+                        termination = True
+                        break
+                except pyqueue.Empty:
+                    pass
+
+                idx = self._next_index(rng)
+                img, msk = deserialize_image_mask_pair(store.get_at(idx))
+
+                if self.raw_mode:
+                    # compact raw sample; augment/normalize/one-hot happen on device
+                    self.outQ.put((img, msk))
+                    continue
+
+                if self.use_augmentation:
+                    img, msk = augment_image(
+                        img.astype(np.float32), msk,
+                        reflection_flag=ap.reflection_flag,
+                        rotation_flag=ap.rotation_flag,
+                        jitter_augmentation_severity=ap.jitter_augmentation_severity,
+                        noise_augmentation_severity=ap.noise_augmentation_severity,
+                        scale_augmentation_severity=ap.scale_augmentation_severity,
+                        blur_augmentation_max_sigma=ap.blur_max_sigma,
+                        intensity_augmentation_severity=ap.intensity_augmentation_severity,
+                        rng=nprng,
+                    )
+
+                img = img.transpose((2, 0, 1)).astype(np.float32)  # HWC -> CHW
+                img = zscore_normalize(img)
+                if self.layout == "nhwc":
+                    img = img.transpose((1, 2, 0))
+                oh = one_hot_labels(msk.astype(np.int32), self.nb_classes)
+                self.outQ.put((img, oh))
+        except Exception as e:
+            print("***************** Reader Error *****************")
+            print(e)
+            traceback.print_exc()
+            print("***************** Reader Error *****************")
+        finally:
+            self.outQ.put(None)  # shutdown confirmation sentinel
+
+    # --- consumption (imagereader.py:327-355) ---
+
+    def get_example(self):
+        qsize = self.outQ.qsize()
+        if qsize < int(0.1 * self.maxOutQSize):
+            if not self.queue_starvation:
+                print("Input Queue Starvation !!!!")
+            self.queue_starvation = True
+        if self.queue_starvation and qsize > int(0.5 * self.maxOutQSize):
+            print("Input Queue Starvation Over")
+            self.queue_starvation = False
+        return self.outQ.get()
+
+    def generator(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        while True:
+            batch = self.get_example()
+            if batch is None:
+                return
+            yield batch
+
+    def get_queue_size(self) -> int:
+        return self.outQ.qsize()
+
+    def batches(self, batch_size: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Stacked numpy batches — the tf.data.batch() equivalent
+        (train.py:85). Infinite while workers run."""
+        gen = self.generator()
+        while True:
+            imgs, lbls = [], []
+            for _ in range(batch_size):
+                try:
+                    img, lbl = next(gen)
+                except StopIteration:
+                    return
+                imgs.append(img)
+                lbls.append(lbl)
+            yield np.stack(imgs), np.stack(lbls)
+
+    def __enter__(self):
+        self.startup()
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()

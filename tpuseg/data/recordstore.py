@@ -1,0 +1,253 @@
+"""Python binding for the native tsrstore record store.
+
+tsrstore plays the role LMDB plays in the reference (imagereader.py:120,
+build_lmdb.py:136): a memory-mapped, sorted-key, zero-copy store of
+serialized ``ImageMaskPair`` records.  The hot path is the native C++
+library (``native/recordstore.cc``) bound via ctypes; a pure-Python mmap
+implementation of the identical on-disk format backs it up so a missing
+compiler degrades performance, not functionality.
+
+A "database" is a directory (named ``*.lmdb`` for reference CLI parity)
+containing ``data.tsr`` plus the builder's ``img_filenames.csv``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import mmap
+import os
+import struct
+import subprocess
+import threading
+from typing import Iterator, List, Optional
+
+_MAGIC = b"TSRSTOR1"
+_HEADER = struct.Struct("<8sQQ")  # magic, count, index_offset
+_REC = struct.Struct("<IQ")  # key_len, val_len
+_IDX = struct.Struct("<IQQ")  # key_len, val_offset, val_len
+
+DATA_FILENAME = "data.tsr"
+
+_native_lock = threading.Lock()
+_native_lib: Optional[ctypes.CDLL] = None
+_native_failed = False
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Load (building on first use) the native library; None if unavailable."""
+    global _native_lib, _native_failed
+    with _native_lock:
+        if _native_lib is not None or _native_failed:
+            return _native_lib
+        so_path = os.path.join(_native_dir(), "libtsrstore.so")
+        try:
+            if not os.path.exists(so_path):
+                subprocess.run(
+                    ["make", "-C", _native_dir()],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(so_path)
+        except Exception:
+            _native_failed = True
+            return None
+        lib.tsr_writer_open.restype = ctypes.c_void_p
+        lib.tsr_writer_open.argtypes = [ctypes.c_char_p]
+        lib.tsr_writer_put.restype = ctypes.c_int
+        lib.tsr_writer_put.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32, ctypes.c_char_p, ctypes.c_uint64,
+        ]
+        lib.tsr_writer_close.restype = ctypes.c_int
+        lib.tsr_writer_close.argtypes = [ctypes.c_void_p]
+        lib.tsr_reader_open.restype = ctypes.c_void_p
+        lib.tsr_reader_open.argtypes = [ctypes.c_char_p]
+        lib.tsr_reader_count.restype = ctypes.c_uint64
+        lib.tsr_reader_count.argtypes = [ctypes.c_void_p]
+        lib.tsr_reader_key.restype = ctypes.c_int
+        lib.tsr_reader_key.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.tsr_reader_get.restype = ctypes.c_int
+        lib.tsr_reader_get.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.tsr_reader_get_at.restype = ctypes.c_int
+        lib.tsr_reader_get_at.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.tsr_reader_close.restype = None
+        lib.tsr_reader_close.argtypes = [ctypes.c_void_p]
+        _native_lib = lib
+        return lib
+
+
+def _data_path(db_dir: str) -> str:
+    return os.path.join(db_dir, DATA_FILENAME)
+
+
+class RecordWriter:
+    """Append-only writer; call close() to finalize the sorted index."""
+
+    def __init__(self, db_dir: str, use_native: bool = True):
+        os.makedirs(db_dir, exist_ok=True)
+        self._path = _data_path(db_dir)
+        self._lib = load_native() if use_native else None
+        self._handle = None
+        self._pyfile = None
+        self._pyindex: List[tuple] = []
+        if self._lib is not None:
+            self._handle = self._lib.tsr_writer_open(self._path.encode())
+            if not self._handle:
+                raise IOError(f"tsrstore: cannot open {self._path} for writing")
+        else:
+            self._pyfile = open(self._path, "wb")
+            self._pyfile.write(_HEADER.pack(_MAGIC, 0, 0))
+            self._pypos = _HEADER.size
+
+    def put(self, key: bytes, value: bytes) -> None:
+        if isinstance(key, str):
+            key = key.encode("ascii")
+        if self._handle is not None:
+            rc = self._lib.tsr_writer_put(self._handle, key, len(key), value, len(value))
+            if rc != 0:
+                raise IOError("tsrstore: write failed")
+        else:
+            self._pyfile.write(_REC.pack(len(key), len(value)))
+            self._pyfile.write(key)
+            self._pyfile.write(value)
+            val_offset = self._pypos + _REC.size + len(key)
+            self._pyindex.append((key, val_offset, len(value)))
+            self._pypos = val_offset + len(value)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            rc = self._lib.tsr_writer_close(self._handle)
+            self._handle = None
+            if rc != 0:
+                raise IOError("tsrstore: close failed")
+        elif self._pyfile is not None:
+            index_offset = self._pypos
+            for key, off, length in sorted(self._pyindex):
+                self._pyfile.write(_IDX.pack(len(key), off, length))
+                self._pyfile.write(key)
+            self._pyfile.seek(8)
+            self._pyfile.write(struct.pack("<QQ", len(self._pyindex), index_offset))
+            self._pyfile.close()
+            self._pyfile = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class RecordReader:
+    """Read-only, memory-mapped view of a database directory.
+
+    Safe to open independently in each reader process (the mmap pages are
+    shared through the page cache, like the reference's LMDB readers).
+    """
+
+    def __init__(self, db_dir: str, use_native: bool = True):
+        path = _data_path(db_dir)
+        if not os.path.exists(path):
+            raise IOError(f"Missing Database: {db_dir}")  # message parity imagereader.py:110-113
+        self._lib = load_native() if use_native else None
+        self._handle = None
+        self._mm = None
+        self._keys: Optional[List[bytes]] = None
+        if self._lib is not None:
+            self._handle = self._lib.tsr_reader_open(path.encode())
+            if not self._handle:
+                raise IOError(f"tsrstore: cannot open {path}")
+            self._count = int(self._lib.tsr_reader_count(self._handle))
+        else:
+            f = open(path, "rb")
+            self._mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            f.close()
+            magic, count, index_offset = _HEADER.unpack_from(self._mm, 0)
+            if magic != _MAGIC:
+                raise IOError(f"tsrstore: bad magic in {path}")
+            self._count = count
+            self._index = []
+            self._by_key = {}
+            pos = index_offset
+            for i in range(count):
+                kl, off, length = _IDX.unpack_from(self._mm, pos)
+                pos += _IDX.size
+                key = bytes(self._mm[pos:pos + kl])
+                pos += kl
+                self._index.append((key, off, length))
+                self._by_key[key] = i
+
+    def __len__(self) -> int:
+        return self._count
+
+    def keys(self) -> List[bytes]:
+        """All keys in sorted order (LMDB cursor iteration parity)."""
+        if self._keys is None:
+            if self._handle is not None:
+                out = []
+                kp = ctypes.c_char_p()
+                klen = ctypes.c_uint32()
+                for i in range(self._count):
+                    if self._lib.tsr_reader_key(self._handle, i, ctypes.byref(kp), ctypes.byref(klen)) != 0:
+                        raise IOError("tsrstore: key read failed")
+                    out.append(ctypes.string_at(kp, klen.value))
+                self._keys = out
+            else:
+                self._keys = [k for k, _, _ in self._index]
+        return self._keys
+
+    def get(self, key: bytes) -> bytes:
+        if isinstance(key, str):
+            key = key.encode("ascii")
+        if self._handle is not None:
+            vp = ctypes.c_char_p()
+            vlen = ctypes.c_uint64()
+            if self._lib.tsr_reader_get(self._handle, key, len(key), ctypes.byref(vp), ctypes.byref(vlen)) != 0:
+                raise KeyError(key)
+            return ctypes.string_at(vp, vlen.value)
+        i = self._by_key.get(key)
+        if i is None:
+            raise KeyError(key)
+        _, off, length = self._index[i]
+        return bytes(self._mm[off:off + length])
+
+    def get_at(self, i: int) -> bytes:
+        """Value at sorted position i — avoids key marshalling on the hot path."""
+        if self._handle is not None:
+            vp = ctypes.c_char_p()
+            vlen = ctypes.c_uint64()
+            if self._lib.tsr_reader_get_at(self._handle, i, ctypes.byref(vp), ctypes.byref(vlen)) != 0:
+                raise IndexError(i)
+            return ctypes.string_at(vp, vlen.value)
+        key, off, length = self._index[i]
+        return bytes(self._mm[off:off + length])
+
+    def __iter__(self) -> Iterator[bytes]:
+        for i in range(self._count):
+            yield self.get_at(i)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.tsr_reader_close(self._handle)
+            self._handle = None
+        if self._mm is not None:
+            self._mm.close()
+            self._mm = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
