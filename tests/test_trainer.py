@@ -1,0 +1,88 @@
+"""Training-driver smoke tests: full loop semantics on a tiny DB + tiny model."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpuseg.data.build_db import serialize_image_mask_pair
+from tpuseg.data.recordstore import RecordWriter
+from tpuseg.train.trainer import TrainConfig, train_model
+
+
+@pytest.fixture(scope="module")
+def dbs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trainer")
+    rng = np.random.default_rng(0)
+
+    def make(path, n):
+        w = RecordWriter(str(path))
+        for i in range(n):
+            img = rng.normal(500, 100, (32, 32, 1)).astype(np.uint16)
+            msk = (img[..., 0] > 500).astype(np.uint8)
+            classes = ",".join(str(c) for c in np.unique(msk))
+            w.put(f"img{i:03d}:{classes}", serialize_image_mask_pair(img, msk))
+        w.close()
+        return str(path)
+
+    return make(root / "train-t.lmdb", 16), make(root / "test-t.lmdb", 8)
+
+
+def test_train_model_end_to_end(dbs, tmp_path):
+    train_db, test_db = dbs
+    out = str(tmp_path / "out")
+    cfg = TrainConfig(
+        train_database=train_db,
+        test_database=test_db,
+        output_folder=out,
+        batch_size=1,
+        test_every_n_steps=2,
+        early_stopping_count=1,
+        use_augmentation=False,
+        max_epochs=3,
+        dtype="float32",
+        base_features=2,
+        seed=0,
+    )
+    result = train_model(cfg)
+
+    assert 1 <= result.epochs_run <= 3
+    assert len(result.test_loss) == result.epochs_run
+    assert np.isfinite(result.final_train_loss)
+
+    # artifacts: test_loss.csv, tensorboard dirs, checkpoint
+    csv = os.path.join(out, "test_loss.csv")
+    assert os.path.exists(csv)
+    with open(csv) as f:
+        values = [float(line) for line in f if line.strip()]
+    assert values == pytest.approx(result.test_loss)
+    tb = [d for d in os.listdir(out) if d.startswith("tensorboard-")]
+    assert len(tb) == 1
+    assert os.path.isdir(os.path.join(out, tb[0], "train"))
+    assert os.path.isdir(os.path.join(out, tb[0], "test"))
+    assert os.path.isdir(os.path.join(out, "checkpoint", "ckpt"))
+
+
+def test_checkpoint_roundtrip(dbs, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models.unet import UNet
+    from tpuseg.train.steps import create_train_state
+    from tpuseg.utils.checkpoint import restore_model_variables, restore_train_state, save_checkpoint
+
+    model = UNet(num_classes=2, base_features=2, dtype=jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(3), 1, 1e-3)
+    state = state.replace(step=state.step + 7)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, state)
+
+    template = create_train_state(model, jax.random.PRNGKey(9), 1, 1e-3)
+    restored = restore_train_state(path, template)
+    assert int(restored.step) == 7
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    variables = restore_model_variables(path, template)
+    assert "params" in variables and "batch_stats" in variables

@@ -1,0 +1,103 @@
+"""Device mesh + SPMD shardings.
+
+Replaces the reference's ``tf.distribute.MirroredStrategy`` (train.py:57,
+model.py:230-235) with GSPMD over a ``jax.sharding.Mesh``:
+
+- **data axis**: the batch dimension is sharded; gradients are averaged by
+  XLA-inserted ``psum`` over ICI — the NCCL all-reduce equivalent, but fused
+  into the compiled step.
+- **spatial axis** (optional): image rows are sharded too; XLA spatially
+  partitions the convolutions and inserts halo exchanges. This is the CNN
+  analog of sequence parallelism — it lets a global batch *smaller* than the
+  device count (or a single huge tile) still use every chip.
+
+Replicated-parameter semantics come free from SPMD: params/optimizer state
+carry a fully-replicated sharding, so there is no variable-mirroring
+machinery to port (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpuseg.train import steps as steps_lib
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: Optional[int] = None,
+    spatial: int = 1,
+) -> Mesh:
+    """Build a (data, spatial) mesh. Defaults to all local devices on the
+    data axis — the MirroredStrategy topology."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // spatial
+    if data * spatial != n:
+        raise ValueError(f"mesh {data}x{spatial} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, spatial)
+    return Mesh(dev_array, ("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh) -> Optional[NamedSharding]:
+    """NHWC batch: N over 'data', H over 'spatial' (None on 1-device mesh,
+    matching make_parallel_steps' plain-jit fast path)."""
+    if mesh.devices.size == 1:
+        return None
+    return NamedSharding(mesh, P("data", "spatial", None, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, images, labels) -> Tuple[jax.Array, jax.Array]:
+    """Place a host batch onto the mesh (the experimental_distribute_dataset
+    moment, train.py:86) — one device_put, no per-replica splitting code."""
+    bs = batch_sharding(mesh)
+    if bs is None:
+        return jax.device_put(images), jax.device_put(labels)
+    return jax.device_put(images, bs), jax.device_put(labels, bs)
+
+
+def make_parallel_steps(model, mesh: Mesh, label_smoothing: float = 0.0):
+    """(train_step, eval_step) jitted over the mesh: state replicated,
+    batch sharded, donation on. The returned functions are drop-in
+    replacements for the single-device pair from make_jitted_steps.
+
+    On a 1-device mesh the GSPMD annotations are pure overhead (and the
+    axon-tunneled TPU backend compiles sharded U-Net programs pathologically
+    slowly), so we return the plain jitted pair — bitwise the same program.
+    """
+    if mesh.devices.size == 1:
+        return steps_lib.make_jitted_steps(model, label_smoothing)
+    tx = steps_lib.make_optimizer()
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+
+    tstep = jax.jit(
+        functools.partial(steps_lib.train_step, model, tx, label_smoothing=label_smoothing),
+        in_shardings=(repl, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    estep = jax.jit(
+        functools.partial(steps_lib.eval_step, model, label_smoothing=label_smoothing),
+        in_shardings=(repl, data, data),
+        out_shardings=repl,
+    )
+    return tstep, estep
+
+
+def replicate_state(state, mesh: Mesh):
+    """Place a host-initialized train state replicated across the mesh."""
+    if mesh.devices.size == 1:
+        return state
+    return jax.device_put(state, replicated(mesh))

@@ -1,0 +1,65 @@
+"""Host->device input pipeline: double-buffered asynchronous prefetch.
+
+Replaces the reference's ``tf.data .prefetch() +
+experimental_distribute_dataset`` stage (train.py:85-90): a background
+thread stacks host batches and issues ``jax.device_put`` with the target
+sharding, so the DMA of batch N+1 overlaps the compute of batch N and each
+device receives only its shard.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def device_prefetch(
+    host_iter: Iterator[Tuple[np.ndarray, np.ndarray]],
+    sharding=None,
+    depth: int = 2,
+) -> Iterator[Tuple[jax.Array, jax.Array]]:
+    """Yield device-resident (images, labels), ``depth`` batches ahead."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for images, labels in host_iter:
+                if stop.is_set():
+                    return
+                images = np.ascontiguousarray(images, dtype=np.float32)
+                labels = np.ascontiguousarray(labels, dtype=np.float32)
+                if sharding is not None:
+                    images = jax.device_put(images, sharding)
+                    labels = jax.device_put(labels, sharding)
+                else:
+                    images = jax.device_put(images)
+                    labels = jax.device_put(labels)
+                q.put((images, labels))
+        except Exception as e:  # surface reader crashes to the consumer
+            q.put(e)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so the producer can exit its q.put
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -1,0 +1,233 @@
+"""Training driver.
+
+Reproduces the orchestration of the reference ``train.py::train_model``
+(train.py:33-206) on the TPU stack:
+
+- global batch = per-chip batch x device count; reader count scaled the same
+  way (train.py:61-63);
+- test reader: no augmentation, no shuffle, strided walk; train reader:
+  augmentation/balancing per flags (train.py:66-75);
+- epoch 0 is an Adam warmup at lr/10 for min(1000, test_every_n_steps)
+  steps (train.py:126-132) — a traced scalar here, so no recompile;
+- an "epoch" is ``test_every_n_steps`` train steps followed by a full pass
+  over the test set (train.py:99-100); both loops run ``size+1`` batches
+  because the reference breaks on ``step > size`` (train.py:137, 155);
+- per-step train scalars and per-epoch test scalars to TensorBoard under
+  ``tensorboard-<timestamp>/{train,test}`` (train.py:110-119, 146-148,
+  167-169), ``test_loss.csv`` rewritten per epoch (train.py:173-176);
+- checkpoint written only when test loss improves (train.py:181-184);
+- early stopping: best epoch = first within 1e-4 of the minimum; stop when
+  ``epochs - best > early_stopping_count`` (train.py:187-199).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.data.reader import AugmentParams, ImageReader
+from tpuseg.models.unet import UNet
+from tpuseg.parallel import mesh as mesh_lib
+from tpuseg.train.prefetch import device_prefetch
+from tpuseg.train.steps import create_train_state
+from tpuseg.utils.checkpoint import save_checkpoint
+
+CONVERGENCE_TOLERANCE = 1e-4  # train.py:187
+
+
+@dataclass
+class TrainConfig:
+    train_database: str
+    test_database: str
+    output_folder: str
+    batch_size: int = 4  # per chip, train.py:220
+    number_classes: int = 2
+    learning_rate: float = 3e-4
+    test_every_n_steps: int = 1000
+    balance_classes: bool = False
+    use_augmentation: bool = True
+    early_stopping_count: int = 10
+    reader_count: int = 1  # per chip, train.py:232
+    label_smoothing: float = 0.0
+    seed: Optional[int] = None
+    augment_params: AugmentParams = field(default_factory=AugmentParams)
+    warmup_steps_cap: int = 1000  # train.py:127
+    max_epochs: Optional[int] = None  # safety valve absent in the reference
+    dtype: str = "bfloat16"
+    base_features: int = 64  # reference _BASELINE_FEATURE_DEPTH (model.py:20)
+
+
+@dataclass
+class TrainResult:
+    test_loss: List[float]
+    best_epoch: int
+    epochs_run: int
+    checkpoint_path: str
+    final_train_loss: float
+
+
+def _summary_writers(output_folder: str):
+    from tensorboardX import SummaryWriter
+
+    current_time = datetime.datetime.now().strftime("%Y%m%dT%H%M%S")
+    train_dir = os.path.join(output_folder, "tensorboard-" + current_time, "train")
+    test_dir = os.path.join(output_folder, "tensorboard-" + current_time, "test")
+    os.makedirs(train_dir, exist_ok=True)
+    os.makedirs(test_dir, exist_ok=True)
+    return SummaryWriter(train_dir), SummaryWriter(test_dir)
+
+
+def train_model(config: TrainConfig) -> TrainResult:
+    cfg = config
+    print(f"batch_size = {cfg.batch_size}")
+    print(f"number_classes = {cfg.number_classes}")
+    print(f"learning_rate = {cfg.learning_rate}")
+    print(f"test_every_n_steps = {cfg.test_every_n_steps}")
+    print(f"balance_classes = {cfg.balance_classes}")
+    print(f"use_augmentation = {cfg.use_augmentation}")
+    print(f"train_database = {cfg.train_database}")
+    print(f"test_database = {cfg.test_database}")
+    print(f"output folder = {cfg.output_folder}")
+    print(f"early_stopping count = {cfg.early_stopping_count}")
+    print(f"reader_count = {cfg.reader_count}")
+
+    os.makedirs(cfg.output_folder, exist_ok=True)
+
+    mesh = mesh_lib.make_mesh()
+    num_devices = mesh.devices.size
+    global_batch_size = cfg.batch_size * num_devices  # train.py:61
+    reader_count = cfg.reader_count * num_devices  # train.py:63
+    print(f"devices = {num_devices}, global_batch_size = {global_batch_size}")
+
+    print("Setting up test image reader")
+    test_reader = ImageReader(
+        cfg.test_database, use_augmentation=False, shuffle=False,
+        num_workers=reader_count, balance_classes=False,
+        number_classes=cfg.number_classes, layout="nhwc", seed=cfg.seed)
+    print(f"Test Reader has {test_reader.get_image_count()} images")
+
+    print("Setting up training image reader")
+    train_reader = ImageReader(
+        cfg.train_database, use_augmentation=cfg.use_augmentation, shuffle=True,
+        num_workers=reader_count, balance_classes=cfg.balance_classes,
+        number_classes=cfg.number_classes, layout="nhwc", seed=cfg.seed,
+        augment_params=cfg.augment_params)
+    print(f"Train Reader has {train_reader.get_image_count()} images")
+
+    number_channels = train_reader.get_image_size()[2]
+    model = UNet(num_classes=cfg.number_classes, base_features=cfg.base_features,
+                 dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    rng = jax.random.PRNGKey(0 if cfg.seed is None else cfg.seed)
+    state = create_train_state(model, rng, number_channels, cfg.learning_rate)
+    state = mesh_lib.replicate_state(state, mesh)
+    tstep, estep = mesh_lib.make_parallel_steps(model, mesh, cfg.label_smoothing)
+    data_sharding = mesh_lib.batch_sharding(mesh)
+
+    checkpoint_path = os.path.join(cfg.output_folder, "checkpoint", "ckpt")
+    train_epoch_size = cfg.test_every_n_steps  # train.py:99
+    test_epoch_size = test_reader.get_image_count() / cfg.batch_size  # train.py:100
+
+    test_loss: List[float] = []
+    train_writer, test_writer = _summary_writers(cfg.output_folder)
+
+    try:
+        print("Starting Readers")
+        train_reader.startup()
+        test_reader.startup()
+
+        train_iter = device_prefetch(train_reader.batches(global_batch_size), data_sharding)
+
+        epoch = 0
+        best_epoch = 0
+        final_train_loss = float("nan")
+        print("Running Network")
+        while True:
+            print(f"---- Epoch: {epoch} ----")
+            if epoch == 0:
+                cur_train_epoch_size = min(cfg.warmup_steps_cap, train_epoch_size)
+                print(f"Performing Adam Optimizer learning rate warmup for {cur_train_epoch_size} steps")
+                state = state.replace(lr=jnp.asarray(cfg.learning_rate / 10, jnp.float32))
+            else:
+                cur_train_epoch_size = train_epoch_size
+                state = state.replace(lr=jnp.asarray(cfg.learning_rate, jnp.float32))
+
+            start_time = time.time()
+            # reference runs steps 0..size inclusive (break on step > size)
+            for step in range(cur_train_epoch_size + 1):
+                images, labels = next(train_iter)
+                state, metrics = tstep(state, images, labels)
+                loss = float(metrics["loss"])
+                acc = float(metrics["accuracy"])
+                print(f"Train Epoch {epoch}: Batch {step}/{train_epoch_size}: "
+                      f"Loss {loss} Accuracy = {acc}")
+                global_step = int(epoch * train_epoch_size + step)
+                train_writer.add_scalar("loss", loss, global_step)
+                train_writer.add_scalar("accuracy", acc, global_step)
+                final_train_loss = loss
+
+            # test epoch (train.py:152-171)
+            epoch_test_loss = []
+            epoch_test_acc = []
+            test_iter = device_prefetch(test_reader.batches(global_batch_size), data_sharding)
+            for step in range(int(test_epoch_size) + 1):
+                try:
+                    images, labels = next(test_iter)
+                except StopIteration:
+                    break
+                m = estep(state, images, labels)
+                epoch_test_loss.append(float(m["loss"]))
+                epoch_test_acc.append(float(m["accuracy"]))
+            test_loss.append(float(np.mean(epoch_test_loss)))
+            mean_acc = float(np.mean(epoch_test_acc))
+            print(f"Test Epoch: {epoch}: Loss = {test_loss[-1]} Accuracy = {mean_acc}")
+            test_writer.add_scalar("loss", test_loss[-1], int((epoch + 1) * train_epoch_size))
+            test_writer.add_scalar("accuracy", mean_acc, int((epoch + 1) * train_epoch_size))
+
+            with open(os.path.join(cfg.output_folder, "test_loss.csv"), "w") as csvfile:
+                for v in test_loss:
+                    csvfile.write(str(v) + "\n")
+
+            print(f"Epoch took: {time.time() - start_time} s")
+
+            # checkpoint-on-best (train.py:181-184)
+            if (len(test_loss) - 1) == int(np.argmin(test_loss)):
+                print(f"Test loss improved: {np.min(test_loss)}, saving checkpoint")
+                save_checkpoint(checkpoint_path, state)
+
+            # early stopping (train.py:187-199)
+            print("Best Current Epoch Selection:")
+            print("Test Loss:")
+            print(test_loss)
+            min_test_loss = np.min(test_loss)
+            error_from_best = np.abs(np.asarray(test_loss) - min_test_loss)
+            error_from_best[error_from_best < CONVERGENCE_TOLERANCE] = 0
+            best_epoch = int(np.where(error_from_best == 0)[0][0])
+            print(f"Best epoch: {best_epoch}")
+
+            if len(test_loss) - best_epoch > cfg.early_stopping_count:
+                break
+            if cfg.max_epochs is not None and epoch + 1 >= cfg.max_epochs:
+                break
+            epoch += 1
+    finally:
+        print("Shutting down train_reader")
+        train_reader.shutdown()
+        print("Shutting down test_reader")
+        test_reader.shutdown()
+        train_writer.close()
+        test_writer.close()
+
+    return TrainResult(
+        test_loss=test_loss,
+        best_epoch=best_epoch,
+        epochs_run=epoch + 1,
+        checkpoint_path=checkpoint_path,
+        final_train_loss=final_train_loss,
+    )
