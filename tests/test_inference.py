@@ -1,0 +1,84 @@
+"""Inference tests: padding geometry, tiled-vs-single equivalence, ERF probe."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuseg.infer.erf import estimate_radius
+from tpuseg.infer.tiled import (
+    inference_single,
+    inference_tiled,
+    make_predict_fn,
+    make_softmax_fn,
+    minimize_dtype,
+)
+from tpuseg.models.unet import UNet, init_variables
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = UNet(num_classes=3, base_features=2, dtype=jnp.float32)
+    variables = init_variables(model, jax.random.PRNGKey(0), num_channels=1, spatial=(32, 32))
+    return model, variables
+
+
+def test_single_pads_and_unpads(tiny):
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    img = np.random.default_rng(0).random((50, 70)).astype(np.float32)  # not x16
+    pred = inference_single(img, predict)
+    assert pred.shape == (50, 70)
+    assert pred.dtype == np.int32
+    assert set(np.unique(pred)) <= {0, 1, 2}
+
+
+def test_single_rejects_bad_ndim(tiny):
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    with pytest.raises(IOError, match="HW or HWC"):
+        inference_single(np.zeros((4, 4, 4, 4), np.float32), predict)
+
+
+def test_tiled_matches_single_on_interior(tiny):
+    """Tiled stitching with a halo >= true receptive field reproduces the
+    single-shot prediction exactly (the ERF argument, SURVEY.md §5.7).
+    base_features=2 still has the full 4-level geometry => true RF ~ 96px,
+    so use radius=96 with a small ZoR to exercise many tiles."""
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    img = np.random.default_rng(1).random((320, 320)).astype(np.float32)
+    whole = inference_single(img, predict)
+    tiled = inference_tiled(img, predict, tile_size=288, radius=96, batch_size=3)
+    assert tiled.shape == whole.shape
+    match = (tiled == whole).mean()
+    assert match > 0.999, f"tiled/single agreement {match}"
+
+
+def test_tiled_skinny_image(tiny):
+    """One dim smaller than the tile: reflect-padded up, output still exact size."""
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    img = np.random.default_rng(2).random((100, 600)).astype(np.float32)
+    pred = inference_tiled(img, predict, tile_size=288, radius=96, batch_size=2)
+    assert pred.shape == (100, 600)
+
+
+def test_softmax_fn_contract(tiny):
+    model, variables = tiny
+    sm = make_softmax_fn(model, variables)
+    out = np.asarray(sm(jnp.zeros((1, 32, 32, 1))))
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
+
+
+def test_minimize_dtype():
+    assert minimize_dtype(np.array([[1, 255]])).dtype == np.uint8
+    assert minimize_dtype(np.array([[1, 256]])).dtype == np.uint16
+    assert minimize_dtype(np.array([[1, 70000]])).dtype == np.int32
+
+
+def test_erf_radius_is_x16_and_plausible(tiny):
+    model, variables = tiny
+    r = estimate_radius(model, variables, num_channels=1, rng=np.random.default_rng(0))
+    assert r % 16 == 0
+    assert 16 <= r <= 192

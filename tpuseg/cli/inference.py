@@ -1,0 +1,55 @@
+"""CLI: run tiled whole-image inference with a trained checkpoint.
+
+Flags mirror the reference ``UNet/inference.py:231-241``.
+"""
+
+import argparse
+
+from tpuseg.infer.runner import InferenceConfig, inference
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="inference",
+        description="Script to inference (segment) a folder of images with the "
+                    "selected unet model")
+    parser.add_argument("--checkpoint_filepath", dest="checkpoint_filepath", type=str,
+                        help="Checkpoint filepath to the model to use", required=True)
+    parser.add_argument("--image_folder", dest="image_folder", type=str,
+                        help="filepath to the folder containing tif images to inference "
+                             "(Required)", required=True)
+    parser.add_argument("--output_folder", dest="output_folder", type=str, required=True)
+    parser.add_argument("--number_classes", dest="number_classes", type=int, required=True)
+    parser.add_argument("--number_channels", dest="number_channels", type=int, required=True)
+    parser.add_argument("--image_format", dest="image_format", type=str,
+                        help="format (extension) of the input images. E.g {tif, jpg, png)",
+                        default="tif")
+    # --- tpuseg extensions ---
+    parser.add_argument("--tile_size", dest="tile_size", type=int, default=1024,
+                        help="tile size for large-image tiling (tpuseg extension)")
+    parser.add_argument("--batch_size", dest="batch_size", type=int, default=4,
+                        help="tiles per device batch (tpuseg extension)")
+    parser.add_argument("--radius", dest="radius", type=int, default=None,
+                        help="halo radius override; default measures the ERF "
+                             "(tpuseg extension)")
+    parser.add_argument("--dtype", dest="dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="on-device compute dtype (tpuseg extension)")
+    args = parser.parse_args(argv)
+
+    inference(InferenceConfig(
+        checkpoint_filepath=args.checkpoint_filepath,
+        image_folder=args.image_folder,
+        output_folder=args.output_folder,
+        number_classes=args.number_classes,
+        number_channels=args.number_channels,
+        image_format=args.image_format,
+        tile_size=args.tile_size,
+        batch_size=args.batch_size,
+        radius=args.radius,
+        dtype=args.dtype,
+    ))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""CLI: train a U-Net model.
+
+Flags mirror the reference ``UNet/train.py:211-234`` (names, defaults, help);
+extras past the reference surface are marked as tpuseg extensions.
+"""
+
+import argparse
+
+from tpuseg.train.trainer import TrainConfig, train_model
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="train_unet",
+                                     description="Script which trains a unet model")
+    parser.add_argument("--train_database", dest="train_database_filepath", type=str,
+                        help="database to use for training (Required)", required=True)
+    parser.add_argument("--test_database", dest="test_database_filepath", type=str,
+                        help="database to use for testing (Required)", required=True)
+    parser.add_argument("--output_dir", dest="output_folder", type=str,
+                        help="Folder where outputs will be saved (Required)", required=True)
+    parser.add_argument("--batch_size", dest="batch_size", type=int,
+                        help="training batch size", default=4)
+    parser.add_argument("--number_classes", dest="number_classes", type=int, default=2)
+    parser.add_argument("--learning_rate", dest="learning_rate", type=float, default=3e-4)
+    parser.add_argument("--test_every_n_steps", dest="test_every_n_steps", type=int,
+                        help="number of gradient update steps to take between test epochs",
+                        default=1000)
+    parser.add_argument("--balance_classes", dest="balance_classes", type=int,
+                        help="whether to balance classes [0 = false, 1 = true]", default=0)
+    parser.add_argument("--use_augmentation", dest="use_augmentation", type=int,
+                        help="whether to use data augmentation [0 = false, 1 = true]",
+                        default=1)
+    parser.add_argument("--early_stopping", dest="early_stopping_count", type=int,
+                        help="Perform early stopping when the test loss does not improve "
+                             "for N epochs.", default=10)
+    parser.add_argument("--reader_count", dest="reader_count", type=int,
+                        help="how many processes to use for disk I/O and augmentation "
+                             "per chip", default=1)
+    # --- tpuseg extensions ---
+    parser.add_argument("--seed", dest="seed", type=int, default=None,
+                        help="seed for init/sampling/augmentation (tpuseg extension)")
+    parser.add_argument("--max_epochs", dest="max_epochs", type=int, default=None,
+                        help="hard cap on epochs (tpuseg extension)")
+    parser.add_argument("--dtype", dest="dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="on-device compute dtype (tpuseg extension)")
+    parser.add_argument("--label_smoothing", dest="label_smoothing", type=float,
+                        default=0.0, help="CCE label smoothing (tpuseg extension)")
+    args = parser.parse_args(argv)
+
+    cfg = TrainConfig(
+        train_database=args.train_database_filepath,
+        test_database=args.test_database_filepath,
+        output_folder=args.output_folder,
+        batch_size=args.batch_size,
+        number_classes=args.number_classes,
+        learning_rate=args.learning_rate,
+        test_every_n_steps=args.test_every_n_steps,
+        balance_classes=bool(args.balance_classes),
+        use_augmentation=bool(args.use_augmentation),
+        early_stopping_count=args.early_stopping_count,
+        reader_count=args.reader_count,
+        label_smoothing=args.label_smoothing,
+        seed=args.seed,
+        max_epochs=args.max_epochs,
+        dtype=args.dtype,
+    )
+    train_model(cfg)
+
+
+if __name__ == "__main__":
+    main()

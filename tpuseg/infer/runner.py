@@ -1,0 +1,100 @@
+"""Folder-level inference runner (reference ``inference.py::inference``,
+inference.py:176-227): load checkpoint, per image z-score normalize with
+whole-image statistics, dispatch single vs tiled by the 1024px threshold,
+dtype-minimize, save.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.data.preprocess import zscore_normalize
+from tpuseg.infer.erf import estimate_radius
+from tpuseg.infer.tiled import (
+    TILE_SIZE,
+    inference_single,
+    inference_tiled,
+    make_predict_fn,
+    minimize_dtype,
+)
+from tpuseg.models.unet import UNet
+from tpuseg.train.steps import create_train_state
+from tpuseg.utils.checkpoint import restore_model_variables
+from tpuseg.utils.imagio import imread, imwrite
+
+
+@dataclass
+class InferenceConfig:
+    checkpoint_filepath: str
+    image_folder: str
+    output_folder: str
+    number_classes: int
+    number_channels: int
+    image_format: str = "tif"
+    tile_size: int = TILE_SIZE
+    batch_size: int = 4
+    radius: Optional[int] = None  # None -> ERF probe (reference behavior)
+    dtype: str = "bfloat16"
+    base_features: int = 64
+
+
+def load_model(cfg: InferenceConfig):
+    """Build the model and restore checkpointed variables (model.py:81-83)."""
+    model = UNet(num_classes=cfg.number_classes, base_features=cfg.base_features,
+                 dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    template = create_train_state(model, jax.random.PRNGKey(0), cfg.number_channels, 1e-4)
+    variables = restore_model_variables(cfg.checkpoint_filepath, template)
+    return model, variables
+
+
+def inference(cfg: InferenceConfig) -> List[str]:
+    """Segment every ``*.image_format`` file in ``image_folder``; returns the
+    list of written mask paths."""
+    print("Arguments:")
+    print(f"checkpoint_filepath = {cfg.checkpoint_filepath}")
+    print(f"image_folder = {cfg.image_folder}")
+    print(f"output_folder = {cfg.output_folder}")
+    print(f"image_format = {cfg.image_format}")
+    print(f"number_classes = {cfg.number_classes}")
+    print(f"number_channels = {cfg.number_channels}")
+
+    os.makedirs(cfg.output_folder, exist_ok=True)
+    fmt = cfg.image_format.lstrip(".")
+    img_filepath_list = [
+        os.path.join(cfg.image_folder, fn)
+        for fn in sorted(os.listdir(cfg.image_folder)) if fn.endswith(f".{fmt}")
+    ]
+
+    model, variables = load_model(cfg)
+    predict_fn = make_predict_fn(model, variables)
+
+    radius = cfg.radius
+    written = []
+    print("Starting inference of file list")
+    for i, img_filepath in enumerate(img_filepath_list):
+        _, slide_name = os.path.split(img_filepath)
+        print(f"{i}/{len(img_filepath_list)} : {slide_name}")
+
+        img = imread(img_filepath).astype(np.float32)
+        img = zscore_normalize(img, channels_first=False)
+        print(f"  img.shape={img.shape}")
+
+        if img.shape[0] > cfg.tile_size or img.shape[1] > cfg.tile_size:
+            if radius is None:
+                radius = estimate_radius(model, variables, cfg.number_channels)
+                print(f'Estimated radius based on ERF : "{radius}"')
+            mask = inference_tiled(img, predict_fn, cfg.tile_size, radius, cfg.batch_size)
+        else:
+            mask = inference_single(img, predict_fn)
+
+        mask = minimize_dtype(mask)
+        out_path = os.path.join(cfg.output_folder, slide_name)
+        imwrite(out_path, mask)
+        written.append(out_path)
+    return written

@@ -1,0 +1,153 @@
+"""Whole-image inference: single-shot and halo-tiled.
+
+Reproduces ``UNet/inference.py:27-173`` with a TPU-first execution plan:
+
+- one **fixed tile shape** per run: edge windows slide inward to stay full
+  size (the builder's slide-to-fit trick, build_lmdb.py:99-108) instead of
+  shrinking, so XLA compiles exactly one tiled program — the reference's
+  variable edge-tile shapes would retrace per geometry;
+- tiles are **batched** through the jitted forward, and argmax runs on
+  device over the logits (softmax is argmax-equivariant, so the softmax of
+  model.py:142 is skipped entirely on this path);
+- every output pixel still sees >= its full receptive field: the
+  zone-of-responsibility is ``tile - 2*radius`` with the ERF-measured
+  radius (inference.py:54-59). Pixels within ``radius`` of the image border
+  get *more* true context than the reference's clamped windows, never less.
+
+The geometry contract (ZoR grid, reflect padding to x16, trim order) is
+otherwise identical to inference.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg import RADIUS, SIZE_FACTOR
+from tpuseg.models.unet import UNet
+
+TILE_SIZE = 1024  # inference.py:24
+
+
+def _pad_to_multiple(img: np.ndarray) -> Tuple[np.ndarray, int, int]:
+    """Reflect-pad bottom/right so H,W are multiples of 16 (inference.py:29-47)."""
+    pad_y = (-img.shape[0]) % SIZE_FACTOR
+    pad_x = (-img.shape[1]) % SIZE_FACTOR
+    if img.ndim == 2:
+        img = img[..., None]
+    if pad_x > 0 or pad_y > 0:
+        img = np.pad(img, ((0, pad_y), (0, pad_x), (0, 0)), mode="reflect")
+    return img, pad_y, pad_x
+
+
+def make_predict_fn(model: UNet, variables) -> Callable[[jax.Array], jax.Array]:
+    """Jitted NHWC batch -> int32 argmax labels, all on device."""
+
+    @jax.jit
+    def predict(batch):
+        logits = model.apply(variables, batch, train=False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return predict
+
+
+def make_softmax_fn(model: UNet, variables) -> Callable[[jax.Array], jax.Array]:
+    """Jitted NHWC batch -> softmax probabilities (reference-contract output)."""
+
+    @jax.jit
+    def softmax(batch):
+        return jax.nn.softmax(model.apply(variables, batch, train=False), axis=-1)
+
+    return softmax
+
+
+def inference_single(img: np.ndarray, predict_fn) -> np.ndarray:
+    """Small-image path (inference.py:139-173): pad to x16, one forward,
+    argmax, unpad."""
+    if img.ndim not in (2, 3):
+        raise IOError("Invalid number of dimensions for input image. "
+                      "Expecting HW or HWC dimension ordering.")
+    img, pad_y, pad_x = _pad_to_multiple(img)
+    pred = np.asarray(predict_fn(jnp.asarray(img[None], jnp.float32))[0])
+    if pad_x > 0:
+        pred = pred[:, :-pad_x]
+    if pad_y > 0:
+        pred = pred[:-pad_y, :]
+    return pred
+
+
+def inference_tiled(
+    img: np.ndarray,
+    predict_fn,
+    tile_size: int = TILE_SIZE,
+    radius: int = RADIUS,
+    batch_size: int = 4,
+) -> np.ndarray:
+    """Large-image path (inference.py:27-136): ZoR grid with ERF halos,
+    fixed-shape slide-to-fit windows, batched device execution."""
+    if img.ndim not in (2, 3):
+        raise IOError("Invalid number of dimensions for input image. "
+                      "Expecting HW or HWC dimension ordering.")
+    img, pad_y, pad_x = _pad_to_multiple(img)
+    height, width = img.shape[0], img.shape[1]
+
+    assert tile_size % SIZE_FACTOR == 0
+    assert radius % SIZE_FACTOR == 0
+    zor = tile_size - 2 * radius  # zone of responsibility, inference.py:58
+    assert zor >= radius, "tile size too small for the receptive-field halo"
+
+    # guarantee full-size windows exist: reflect-pad skinny dims up to tile
+    extra_y = max(0, tile_size - height)
+    extra_x = max(0, tile_size - width)
+    if extra_y or extra_x:
+        img = np.pad(img, ((0, extra_y), (0, extra_x), (0, 0)), mode="reflect")
+    full_h, full_w = img.shape[0], img.shape[1]
+
+    mask = np.zeros((height, width), dtype=np.int32)
+
+    # collect fixed-shape windows + the output slice each one owns
+    tiles: List[np.ndarray] = []
+    placements: List[Tuple[slice, slice, slice, slice]] = []
+    for i in range(0, height, zor):
+        for j in range(0, width, zor):
+            y_end_z = min(i + zor, height)
+            x_end_z = min(j + zor, width)
+            # ideal window: ZoR padded by radius on each side, slid to fit
+            y_st = min(max(i - radius, 0), full_h - tile_size)
+            x_st = min(max(j - radius, 0), full_w - tile_size)
+            tiles.append(img[y_st:y_st + tile_size, x_st:x_st + tile_size])
+            placements.append((
+                slice(i, y_end_z), slice(j, x_end_z),                      # into mask
+                slice(i - y_st, y_end_z - y_st), slice(j - x_st, x_end_z - x_st),  # from pred
+            ))
+
+    # batched device execution over one compiled shape
+    for start in range(0, len(tiles), batch_size):
+        chunk = tiles[start:start + batch_size]
+        n = len(chunk)
+        if n < batch_size:  # keep the compiled shape; surplus rows discarded
+            chunk = chunk + [chunk[-1]] * (batch_size - n)
+        preds = np.asarray(predict_fn(jnp.asarray(np.stack(chunk), jnp.float32)))
+        for k in range(n):
+            my, mx, py, px = placements[start + k]
+            mask[my, mx] = preds[k][py, px]
+
+    if pad_x > 0:
+        mask = mask[:, :-pad_x]
+    if pad_y > 0:
+        mask = mask[:-pad_y, :]
+    return mask
+
+
+def minimize_dtype(mask: np.ndarray) -> np.ndarray:
+    """Shrink the label dtype for saving (inference.py:215-220)."""
+    mx = mask.max() if mask.size else 0
+    if 0 <= mx <= 255:
+        return mask.astype(np.uint8)
+    if mx < 65536:
+        return mask.astype(np.uint16)
+    return mask.astype(np.int32)
