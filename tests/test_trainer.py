@@ -28,9 +28,10 @@ def dbs(tmp_path_factory):
     return make(root / "train-t.lmdb", 16), make(root / "test-t.lmdb", 8)
 
 
-def test_train_model_end_to_end(dbs, tmp_path):
+@pytest.mark.parametrize("device_augment", [True, False])
+def test_train_model_end_to_end(dbs, tmp_path, device_augment):
     train_db, test_db = dbs
-    out = str(tmp_path / "out")
+    out = str(tmp_path / f"out{int(device_augment)}")
     cfg = TrainConfig(
         train_database=train_db,
         test_database=test_db,
@@ -38,11 +39,12 @@ def test_train_model_end_to_end(dbs, tmp_path):
         batch_size=1,
         test_every_n_steps=2,
         early_stopping_count=1,
-        use_augmentation=False,
+        use_augmentation=device_augment,  # fused path with aug; host path without
         max_epochs=3,
         dtype="float32",
         base_features=2,
         seed=0,
+        device_augment=device_augment,
     )
     result = train_model(cfg)
 

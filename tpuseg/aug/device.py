@@ -1,0 +1,209 @@
+"""On-device fused augmentation — the TPU fast path.
+
+The reference pays for augmentation with host CPUs (multiprocess skimage
+workers, README.md:130-157, the documented bottleneck its reader fleet
+exists to hide). Here the whole sample pipeline — affine warp, flips, noise,
+blur, intensity, z-score, one-hot — runs inside the training step's XLA
+program on raw uint batches, so the host only ships compact bytes and the
+VPU does the math between MXU convs.
+
+Semantics mirror ``tpuseg.aug.host`` (itself mirroring UNet/augment.py) with
+two documented divergences:
+- rotation+scale+translation compose into ONE bilinear resample (the
+  reference resamples twice, augment.py:163-167); one resample is cheaper
+  and strictly less lossy;
+- blur is spatial-only (the reference's scalar-sigma gaussian_filter also
+  blurs across the channel axis, augment.py:136 — an artifact, not a
+  feature). Identical for single-channel data.
+
+Every random draw comes from the functional ``jax.random`` stream, split
+per sample, so augmentation is reproducible and shardable: under the data
+mesh each device augments only its shard.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class DeviceAugmentParams:
+    """Mirrors data.reader.AugmentParams (reference imagereader.py:79-85)."""
+
+    reflection: bool = True
+    rotation: bool = True
+    jitter_severity: float = 0.1
+    noise_severity: float = 0.02
+    scale_severity: float = 0.1
+    blur_max_sigma: float = 2.0
+    intensity_severity: float = 0.0
+
+    # blur kernel taps; 4*sigma_max each side covers the gaussian support
+    @property
+    def blur_kernel_size(self) -> int:
+        k = int(4 * self.blur_max_sigma) * 2 + 1
+        return max(k, 1)
+
+
+def _mirror_index(idx: jnp.ndarray, size: int) -> jnp.ndarray:
+    """numpy-pad-'reflect' indexing: ... 2 1 | 0 1 2 .. n-1 | n-2 n-3 ..."""
+    period = 2 * (size - 1) if size > 1 else 1
+    idx = jnp.abs(idx)
+    idx = jnp.mod(idx, period)
+    return jnp.where(idx >= size, period - idx, idx).astype(jnp.int32)
+
+
+def _bilinear_sample(img: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
+    """Sample img [H,W,C] at float coords (rows, cols) [H,W] with bilinear
+    interpolation and mirror boundary."""
+    h, w = img.shape[0], img.shape[1]
+    r0 = jnp.floor(rows)
+    c0 = jnp.floor(cols)
+    fr = (rows - r0)[..., None]
+    fc = (cols - c0)[..., None]
+    r0i = r0.astype(jnp.int32)
+    c0i = c0.astype(jnp.int32)
+
+    def gather(ri, ci):
+        return img[_mirror_index(ri, h), _mirror_index(ci, w)]
+
+    v00 = gather(r0i, c0i)
+    v01 = gather(r0i, c0i + 1)
+    v10 = gather(r0i + 1, c0i)
+    v11 = gather(r0i + 1, c0i + 1)
+    top = v00 * (1 - fc) + v01 * fc
+    bot = v10 * (1 - fc) + v11 * fc
+    return top * (1 - fr) + bot * fr
+
+
+def _sample_affine(rng: jax.Array, h: int, w: int, p: DeviceAugmentParams):
+    """Draw the per-sample transform parameters (augment.py:62-106 logic)."""
+    ks = jax.random.split(rng, 8)
+    theta = jnp.where(p.rotation, jax.random.uniform(ks[0], (), minval=0.0, maxval=2 * jnp.pi), 0.0)
+    refl_x = jnp.where(p.reflection, jax.random.bernoulli(ks[1]), False)
+    refl_y = jnp.where(p.reflection, jax.random.bernoulli(ks[2]), False)
+
+    jit_amp_x = jax.random.uniform(ks[3], ()) * p.jitter_severity * w
+    jit_amp_y = jax.random.uniform(ks[4], ()) * p.jitter_severity * h
+    sign_x = jnp.where(jax.random.bernoulli(ks[5]), -1.0, 1.0)
+    sign_y = jnp.where(jax.random.bernoulli(ks[6]), -1.0, 1.0)
+    # reference truncates jitter to whole pixels (augment.py:88, 93)
+    tx = jnp.where(p.jitter_severity > 0, sign_x * jnp.floor(jit_amp_x), 0.0)
+    ty = jnp.where(p.jitter_severity > 0, sign_y * jnp.floor(jit_amp_y), 0.0)
+
+    s = jax.random.uniform(ks[7], (2,), minval=1 - p.scale_severity, maxval=1 + p.scale_severity)
+    sx = jnp.where(p.scale_severity > 0, s[0], 1.0)
+    sy = jnp.where(p.scale_severity > 0, s[1], 1.0)
+    return theta, refl_x, refl_y, tx, ty, sx, sy
+
+
+def _warp_coords(h: int, w: int, theta, tx, ty, sx, sy) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse-map output pixel coords through translate/scale then rotation
+    (matching the reference's rotate-first forward order)."""
+    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # inverse of corner-anchored scale+translate (augment.py:165-167)
+    r1 = (rows - ty) / sy
+    c1 = (cols - tx) / sx
+    # inverse of CCW rotation about the center (augment.py:163)
+    cy, cx = h / 2.0 - 0.5, w / 2.0 - 0.5
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    r2 = cos * (r1 - cy) + sin * (c1 - cx) + cy
+    c2 = -sin * (r1 - cy) + cos * (c1 - cx) + cx
+    return r2, c2
+
+
+def _gaussian_kernel(sigma: jnp.ndarray, size: int) -> jnp.ndarray:
+    """1-D gaussian taps; sigma<=0 degenerates to a delta (no blur)."""
+    half = size // 2
+    x = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    safe = jnp.maximum(sigma, 1e-6)
+    k = jnp.exp(-0.5 * (x / safe) ** 2)
+    k = k / jnp.sum(k)
+    delta = (x == 0).astype(jnp.float32)
+    return jnp.where(sigma > 0, k, delta)
+
+
+def _separable_blur(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise separable blur of [H,W,C] with mirror padding."""
+    size = kernel.shape[0]
+    half = size // 2
+    x = jnp.pad(img, ((half, half), (half, half), (0, 0)), mode="reflect")
+    # rows pass:   [H+2p, W, C] <- weighted sum of row-shifted slices
+    x = jnp.moveaxis(x, -1, 0)  # C,Hp,Wp
+    rows = sum(kernel[i] * x[:, i:i + img.shape[0], :] for i in range(size))
+    cols = sum(kernel[i] * rows[:, :, i:i + img.shape[1]] for i in range(size))
+    return jnp.moveaxis(cols, 0, -1)
+
+
+def _augment_one(rng: jax.Array, img: jnp.ndarray, msk: jnp.ndarray,
+                 p: DeviceAugmentParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    h, w = img.shape[0], img.shape[1]
+    k_aff, k_noise_s, k_noise, k_blur, k_int, k_int_sign = jax.random.split(rng, 6)
+
+    theta, refl_x, refl_y, tx, ty, sx, sy = _sample_affine(k_aff, h, w, p)
+    rows, cols = _warp_coords(h, w, theta, tx, ty, sx, sy)
+    img = _bilinear_sample(img, rows, cols)
+    msk = _bilinear_sample(msk[..., None].astype(jnp.float32), rows, cols)[..., 0]
+
+    img = jnp.where(refl_x, img[:, ::-1, :], img)
+    msk = jnp.where(refl_x, msk[:, ::-1], msk)
+    img = jnp.where(refl_y, img[::-1, :, :], img)
+    msk = jnp.where(refl_y, msk[::-1, :], msk)
+
+    if p.noise_severity > 0:
+        dyn = jnp.max(img) - jnp.min(img)
+        sigma_max = p.noise_severity * dyn
+        sigma = jax.random.uniform(k_noise_s, (), minval=-sigma_max, maxval=sigma_max)
+        img = img + jax.random.normal(k_noise, img.shape) * sigma
+
+    if p.blur_max_sigma > 0:
+        sigma = jax.random.uniform(
+            k_blur, (), minval=-p.blur_max_sigma, maxval=p.blur_max_sigma)
+        kern = _gaussian_kernel(jnp.maximum(sigma, 0.0), p.blur_kernel_size)
+        img = _separable_blur(img, kern)
+
+    if p.intensity_severity > 0:
+        dyn = jnp.max(img) - jnp.min(img)
+        value = jax.random.uniform(k_int, ()) * p.intensity_severity * dyn
+        sign = jnp.where(jax.random.bernoulli(k_int_sign), 1.0, -1.0)
+        img = img + sign * value
+
+    msk = jnp.round(msk)
+    return img, msk
+
+
+def _zscore(img: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel z-score with the reference's std<=1 guard
+    (imagereader.py:44-49), per sample."""
+    mean = jnp.mean(img, axis=(0, 1), keepdims=True)
+    std = jnp.std(img, axis=(0, 1), keepdims=True)
+    return (img - mean) / jnp.where(std <= 1.0, 1.0, std)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "num_classes", "augment"))
+def augment_and_preprocess_batch(
+    rng: jax.Array,
+    images: jax.Array,  # [N,H,W,C] any real dtype
+    masks: jax.Array,  # [N,H,W] integer
+    params: DeviceAugmentParams = DeviceAugmentParams(),
+    num_classes: int = 2,
+    augment: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Raw uint batch -> (normalized float32 images, one-hot float32 labels),
+    fully on device. The jit here is for standalone use; when called inside
+    a jitted train step it inlines into the same program."""
+    images = images.astype(jnp.float32)
+    if augment:
+        rngs = jax.random.split(rng, images.shape[0])
+        images, masks_f = jax.vmap(
+            lambda r, i, m: _augment_one(r, i, m, params))(rngs, images, masks)
+        masks = masks_f.astype(jnp.int32)
+    images = jax.vmap(_zscore)(images)
+    labels = jax.nn.one_hot(masks, num_classes, dtype=jnp.float32)
+    return images, labels

@@ -11,6 +11,9 @@ from tpuseg.data.build_db import build_databases
 
 
 def main(argv=None):
+    from tpuseg.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     parser = argparse.ArgumentParser(
         prog="build_lmdb",
         description="Script which converts two folders of images and masks into a "

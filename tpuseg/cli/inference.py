@@ -9,6 +9,9 @@ from tpuseg.infer.runner import InferenceConfig, inference
 
 
 def main(argv=None):
+    from tpuseg.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     parser = argparse.ArgumentParser(
         prog="inference",
         description="Script to inference (segment) a folder of images with the "

@@ -10,6 +10,9 @@ from tpuseg.train.trainer import TrainConfig, train_model
 
 
 def main(argv=None):
+    from tpuseg.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     parser = argparse.ArgumentParser(prog="train_unet",
                                      description="Script which trains a unet model")
     parser.add_argument("--train_database", dest="train_database_filepath", type=str,
@@ -46,6 +49,10 @@ def main(argv=None):
                         help="on-device compute dtype (tpuseg extension)")
     parser.add_argument("--label_smoothing", dest="label_smoothing", type=float,
                         default=0.0, help="CCE label smoothing (tpuseg extension)")
+    parser.add_argument("--device_augmentation", dest="device_augmentation", type=int,
+                        default=1,
+                        help="run augmentation fused on-device [1] or on host CPUs "
+                             "like the reference [0] (tpuseg extension)")
     args = parser.parse_args(argv)
 
     cfg = TrainConfig(
@@ -64,6 +71,7 @@ def main(argv=None):
         seed=args.seed,
         max_epochs=args.max_epochs,
         dtype=args.dtype,
+        device_augment=bool(args.device_augmentation),
     )
     train_model(cfg)
 

@@ -96,6 +96,62 @@ def make_parallel_steps(model, mesh: Mesh, label_smoothing: float = 0.0):
     return tstep, estep
 
 
+def raw_batch_sharding(mesh: Mesh) -> Optional[NamedSharding]:
+    """Raw-sample batches shard on 'data' only: the on-device augmentation
+    warp gathers across the whole image, so spatial shards would pay
+    cross-device gathers for no win at these sizes."""
+    if mesh.devices.size == 1:
+        return None
+    return NamedSharding(mesh, P("data"))
+
+
+def make_parallel_raw_steps(model, mesh: Mesh, num_classes: int, aug_params=None,
+                            augment: bool = True, label_smoothing: float = 0.0):
+    """Raw-batch (train_step, eval_step) over the mesh: augmentation,
+    normalization, one-hot, fwd/bwd, and Adam all in one sharded program."""
+    if mesh.devices.size == 1:
+        return steps_lib.make_jitted_raw_steps(
+            model, num_classes, aug_params, augment, label_smoothing)
+    from tpuseg.aug.device import DeviceAugmentParams, augment_and_preprocess_batch
+
+    if aug_params is None:
+        aug_params = DeviceAugmentParams()
+    tx = steps_lib.make_optimizer()
+    repl = replicated(mesh)
+    data = raw_batch_sharding(mesh)
+    proc = batch_sharding(mesh)
+
+    # two-program composition (see steps.make_jitted_raw_steps): augment
+    # program keeps the data-only sharding; the optimization program takes
+    # the full (data x spatial) layout for the conv graph
+    split = jax.jit(jax.random.split)
+    aug = jax.jit(
+        functools.partial(augment_and_preprocess_batch, params=aug_params,
+                          num_classes=num_classes, augment=augment),
+        in_shardings=(None, data, data), out_shardings=(proc, proc))
+    aug_eval = jax.jit(
+        functools.partial(augment_and_preprocess_batch, params=aug_params,
+                          num_classes=num_classes, augment=False),
+        in_shardings=(None, data, data), out_shardings=(proc, proc))
+    tstep_inner = jax.jit(
+        functools.partial(steps_lib.train_step, model, tx, label_smoothing=label_smoothing),
+        in_shardings=(repl, proc, proc), out_shardings=(repl, repl), donate_argnums=(0,))
+    estep_inner = jax.jit(
+        functools.partial(steps_lib.eval_step, model, label_smoothing=label_smoothing),
+        in_shardings=(repl, proc, proc), out_shardings=repl)
+
+    def _train(state, raw_images, raw_masks):
+        rng, aug_rng = split(state.rng)
+        images, labels = aug(aug_rng, raw_images, raw_masks)
+        return tstep_inner(state.replace(rng=rng), images, labels)
+
+    def _eval(state, raw_images, raw_masks):
+        images, labels = aug_eval(state.rng, raw_images, raw_masks)
+        return estep_inner(state, images, labels)
+
+    return _train, _eval
+
+
 def replicate_state(state, mesh: Mesh):
     """Place a host-initialized train state replicated across the mesh."""
     if mesh.devices.size == 1:

@@ -31,8 +31,10 @@ def device_prefetch(
             for images, labels in host_iter:
                 if stop.is_set():
                     return
-                images = np.ascontiguousarray(images, dtype=np.float32)
-                labels = np.ascontiguousarray(labels, dtype=np.float32)
+                # dtypes pass through: float32 on the host-processed path,
+                # compact uint16/uint8 on the raw path (cast happens on device)
+                images = np.ascontiguousarray(images)
+                labels = np.ascontiguousarray(labels)
                 if sharding is not None:
                     images = jax.device_put(images, sharding)
                     labels = jax.device_put(labels, sharding)

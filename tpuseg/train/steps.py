@@ -119,3 +119,41 @@ def make_jitted_steps(model: UNet, label_smoothing: float = 0.0):
     )
     estep = jax.jit(functools.partial(eval_step, model, label_smoothing=label_smoothing))
     return tstep, estep
+
+
+def make_jitted_raw_steps(model: UNet, num_classes: int, aug_params=None,
+                          augment: bool = True, label_smoothing: float = 0.0):
+    """(train_step, eval_step) over RAW uint batches: on-device augmentation,
+    z-score, and one-hot run on device before fwd/bwd/Adam — the TPU
+    replacement for the reference's host augmentation pipeline
+    (imagereader.py:283-312). Workers then only ship compact raw bytes.
+
+    The augmentation and optimization stages are two separately-jitted
+    programs composed in Python: the batch never leaves the device between
+    them, the gather-heavy warp can't fuse into the conv graph anyway, and
+    one giant module compiles pathologically slowly on some backends
+    (~18 min fused vs seconds split, on the tunneled TPU here)."""
+    from tpuseg.aug.device import DeviceAugmentParams, augment_and_preprocess_batch
+
+    if aug_params is None:
+        aug_params = DeviceAugmentParams()
+    tx = make_optimizer()
+    split = jax.jit(jax.random.split)
+    tstep_inner = jax.jit(
+        functools.partial(train_step, model, tx, label_smoothing=label_smoothing),
+        donate_argnums=(0,),
+    )
+    estep_inner = jax.jit(functools.partial(eval_step, model, label_smoothing=label_smoothing))
+
+    def _train(state: TrainState, raw_images, raw_masks):
+        rng, aug_rng = split(state.rng)
+        images, labels = augment_and_preprocess_batch(
+            aug_rng, raw_images, raw_masks, aug_params, num_classes, augment)
+        return tstep_inner(state.replace(rng=rng), images, labels)
+
+    def _eval(state: TrainState, raw_images, raw_masks):
+        images, labels = augment_and_preprocess_batch(
+            state.rng, raw_images, raw_masks, aug_params, num_classes, augment=False)
+        return estep_inner(state, images, labels)
+
+    return _train, _eval

@@ -62,6 +62,10 @@ class TrainConfig:
     max_epochs: Optional[int] = None  # safety valve absent in the reference
     dtype: str = "bfloat16"
     base_features: int = 64  # reference _BASELINE_FEATURE_DEPTH (model.py:20)
+    # TPU fast path: readers ship raw uint samples; augmentation/zscore/one-hot
+    # fuse into the train step on device (tpuseg.aug.device). Set False for the
+    # reference's host-side (scipy) augmentation pipeline.
+    device_augment: bool = True
 
 
 @dataclass
@@ -106,19 +110,22 @@ def train_model(config: TrainConfig) -> TrainResult:
     reader_count = cfg.reader_count * num_devices  # train.py:63
     print(f"devices = {num_devices}, global_batch_size = {global_batch_size}")
 
+    raw = cfg.device_augment
     print("Setting up test image reader")
     test_reader = ImageReader(
         cfg.test_database, use_augmentation=False, shuffle=False,
         num_workers=reader_count, balance_classes=False,
-        number_classes=cfg.number_classes, layout="nhwc", seed=cfg.seed)
+        number_classes=cfg.number_classes, layout="nhwc", seed=cfg.seed,
+        raw_mode=raw)
     print(f"Test Reader has {test_reader.get_image_count()} images")
 
     print("Setting up training image reader")
     train_reader = ImageReader(
-        cfg.train_database, use_augmentation=cfg.use_augmentation, shuffle=True,
+        cfg.train_database,
+        use_augmentation=cfg.use_augmentation and not raw, shuffle=True,
         num_workers=reader_count, balance_classes=cfg.balance_classes,
         number_classes=cfg.number_classes, layout="nhwc", seed=cfg.seed,
-        augment_params=cfg.augment_params)
+        augment_params=cfg.augment_params, raw_mode=raw)
     print(f"Train Reader has {train_reader.get_image_count()} images")
 
     number_channels = train_reader.get_image_size()[2]
@@ -127,8 +134,26 @@ def train_model(config: TrainConfig) -> TrainResult:
     rng = jax.random.PRNGKey(0 if cfg.seed is None else cfg.seed)
     state = create_train_state(model, rng, number_channels, cfg.learning_rate)
     state = mesh_lib.replicate_state(state, mesh)
-    tstep, estep = mesh_lib.make_parallel_steps(model, mesh, cfg.label_smoothing)
-    data_sharding = mesh_lib.batch_sharding(mesh)
+    if raw:
+        from tpuseg.aug.device import DeviceAugmentParams
+
+        ap = cfg.augment_params
+        dev_params = DeviceAugmentParams(
+            reflection=ap.reflection_flag,
+            rotation=ap.rotation_flag,
+            jitter_severity=ap.jitter_augmentation_severity,
+            noise_severity=ap.noise_augmentation_severity,
+            scale_severity=ap.scale_augmentation_severity,
+            blur_max_sigma=ap.blur_max_sigma,
+            intensity_severity=ap.intensity_augmentation_severity or 0.0,
+        )
+        tstep, estep = mesh_lib.make_parallel_raw_steps(
+            model, mesh, cfg.number_classes, dev_params,
+            augment=cfg.use_augmentation, label_smoothing=cfg.label_smoothing)
+        data_sharding = mesh_lib.raw_batch_sharding(mesh)
+    else:
+        tstep, estep = mesh_lib.make_parallel_steps(model, mesh, cfg.label_smoothing)
+        data_sharding = mesh_lib.batch_sharding(mesh)
 
     checkpoint_path = os.path.join(cfg.output_folder, "checkpoint", "ckpt")
     train_epoch_size = cfg.test_every_n_steps  # train.py:99
