@@ -141,49 +141,65 @@ def _separable_blur(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(cols, 0, -1)
 
 
-def _augment_one(rng: jax.Array, img: jnp.ndarray, msk: jnp.ndarray,
-                 p: DeviceAugmentParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    h, w = img.shape[0], img.shape[1]
-    k_aff, k_noise_s, k_noise, k_blur, k_int, k_int_sign = jax.random.split(rng, 6)
-
-    theta, refl_x, refl_y, tx, ty, sx, sy = _sample_affine(k_aff, h, w, p)
-    rows, cols = _warp_coords(h, w, theta, tx, ty, sx, sy)
-    img = _bilinear_sample(img, rows, cols)
-    msk = _bilinear_sample(msk[..., None].astype(jnp.float32), rows, cols)[..., 0]
-
-    img = jnp.where(refl_x, img[:, ::-1, :], img)
-    msk = jnp.where(refl_x, msk[:, ::-1], msk)
-    img = jnp.where(refl_y, img[::-1, :, :], img)
-    msk = jnp.where(refl_y, msk[::-1, :], msk)
-
-    if p.noise_severity > 0:
-        dyn = jnp.max(img) - jnp.min(img)
-        sigma_max = p.noise_severity * dyn
-        sigma = jax.random.uniform(k_noise_s, (), minval=-sigma_max, maxval=sigma_max)
-        img = img + jax.random.normal(k_noise, img.shape) * sigma
-
-    if p.blur_max_sigma > 0:
-        sigma = jax.random.uniform(
-            k_blur, (), minval=-p.blur_max_sigma, maxval=p.blur_max_sigma)
-        kern = _gaussian_kernel(jnp.maximum(sigma, 0.0), p.blur_kernel_size)
-        img = _separable_blur(img, kern)
-
-    if p.intensity_severity > 0:
-        dyn = jnp.max(img) - jnp.min(img)
-        value = jax.random.uniform(k_int, ()) * p.intensity_severity * dyn
-        sign = jnp.where(jax.random.bernoulli(k_int_sign), 1.0, -1.0)
-        img = img + sign * value
-
-    msk = jnp.round(msk)
-    return img, msk
-
-
 def _zscore(img: jnp.ndarray) -> jnp.ndarray:
     """Per-channel z-score with the reference's std<=1 guard
     (imagereader.py:44-49), per sample."""
     mean = jnp.mean(img, axis=(0, 1), keepdims=True)
     std = jnp.std(img, axis=(0, 1), keepdims=True)
     return (img - mean) / jnp.where(std <= 1.0, 1.0, std)
+
+
+def _augment_batch(rng: jax.Array, images: jax.Array, masks: jax.Array,
+                   p: DeviceAugmentParams) -> Tuple[jax.Array, jax.Array]:
+    """Batched augmentation: the warp runs through the MXU-native shear path
+    (tpuseg.ops.warp) with the mask riding along as an extra channel; noise,
+    blur, and intensity are batched elementwise VPU work."""
+    from tpuseg.ops import warp as warp_lib
+
+    b, h, w, c = images.shape
+    k_params, k_noise_s, k_noise, k_blur, k_int, k_int_sign = jax.random.split(rng, 6)
+
+    theta, refl_x, refl_y, tx, ty, sx, sy = jax.vmap(
+        lambda k: _sample_affine(k, h, w, p))(jax.random.split(k_params, b))
+
+    stacked = jnp.concatenate([images, masks[..., None].astype(jnp.float32)], axis=-1)
+    if h == w:
+        stacked = warp_lib.warp_affine_batch(stacked, theta, tx, ty, sx, sy)
+    else:  # rot90 reduction needs square tiles; rare path, gather fallback
+        def one(i, th, tx1, ty1, sx1, sy1):
+            rows, cols = _warp_coords(h, w, th, tx1, ty1, sx1, sy1)
+            return _bilinear_sample(i, rows, cols)
+        stacked = jax.vmap(one)(stacked, theta, tx, ty, sx, sy)
+    images, masks_f = stacked[..., :c], stacked[..., c]
+
+    refl_xb = refl_x[:, None, None, None]
+    refl_yb = refl_y[:, None, None, None]
+    images = jnp.where(refl_xb, images[:, :, ::-1, :], images)
+    masks_f = jnp.where(refl_xb[..., 0], masks_f[:, :, ::-1], masks_f)
+    images = jnp.where(refl_yb, images[:, ::-1, :, :], images)
+    masks_f = jnp.where(refl_yb[..., 0], masks_f[:, ::-1, :], masks_f)
+
+    if p.noise_severity > 0:
+        dyn = (jnp.max(images, axis=(1, 2, 3)) - jnp.min(images, axis=(1, 2, 3)))
+        sigma_max = p.noise_severity * dyn
+        u = jax.random.uniform(k_noise_s, (b,), minval=-1.0, maxval=1.0)
+        sigma = (u * sigma_max)[:, None, None, None]
+        images = images + jax.random.normal(k_noise, images.shape) * sigma
+
+    if p.blur_max_sigma > 0:
+        sigma = jax.random.uniform(
+            k_blur, (b,), minval=-p.blur_max_sigma, maxval=p.blur_max_sigma)
+        kerns = jax.vmap(lambda s: _gaussian_kernel(jnp.maximum(s, 0.0),
+                                                    p.blur_kernel_size))(sigma)
+        images = jax.vmap(_separable_blur)(images, kerns)
+
+    if p.intensity_severity > 0:
+        dyn = (jnp.max(images, axis=(1, 2, 3)) - jnp.min(images, axis=(1, 2, 3)))
+        value = jax.random.uniform(k_int, (b,)) * p.intensity_severity * dyn
+        sign = jnp.where(jax.random.bernoulli(k_int_sign, shape=(b,)), 1.0, -1.0)
+        images = images + (sign * value)[:, None, None, None]
+
+    return images, jnp.round(masks_f)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "num_classes", "augment"))
@@ -200,9 +216,7 @@ def augment_and_preprocess_batch(
     a jitted train step it inlines into the same program."""
     images = images.astype(jnp.float32)
     if augment:
-        rngs = jax.random.split(rng, images.shape[0])
-        images, masks_f = jax.vmap(
-            lambda r, i, m: _augment_one(r, i, m, params))(rngs, images, masks)
+        images, masks_f = _augment_batch(rng, images, masks, params)
         masks = masks_f.astype(jnp.int32)
     images = jax.vmap(_zscore)(images)
     labels = jax.nn.one_hot(masks, num_classes, dtype=jnp.float32)
