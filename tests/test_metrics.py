@@ -1,0 +1,68 @@
+"""Segmentation metric tests against hand-computed values."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.ops.metrics import (
+    confusion_matrix,
+    iou_from_confusion,
+    segmentation_metrics,
+)
+
+
+def test_confusion_matrix():
+    pred = jnp.asarray([[0, 1], [1, 1]])
+    true = jnp.asarray([[0, 1], [0, 1]])
+    cm = np.asarray(confusion_matrix(pred, true, 2))
+    # truth 0: predicted 0 once, 1 once; truth 1: predicted 1 twice
+    np.testing.assert_array_equal(cm, [[1, 1], [0, 2]])
+
+
+def test_iou():
+    cm = jnp.asarray([[1.0, 1.0], [0.0, 2.0]])
+    iou = np.asarray(iou_from_confusion(cm))
+    # class0: tp=1, fp=0, fn=1 -> 1/2 ; class1: tp=2, fp=1, fn=0 -> 2/3
+    np.testing.assert_allclose(iou, [0.5, 2 / 3])
+
+
+def test_perfect_prediction():
+    pred = jnp.asarray(np.random.default_rng(0).integers(0, 3, (2, 8, 8)))
+    m = segmentation_metrics(pred, pred, 3)
+    assert float(m["mean_iou"]) == 1.0
+    assert float(m["pixel_accuracy"]) == 1.0
+    np.testing.assert_allclose(np.asarray(m["dice"]), 1.0)
+
+
+def test_absent_class_excluded_from_miou():
+    pred = jnp.zeros((1, 4, 4), jnp.int32)
+    true = jnp.zeros((1, 4, 4), jnp.int32)
+    m = segmentation_metrics(pred, true, 3)  # classes 1,2 absent everywhere
+    assert float(m["mean_iou"]) == 1.0
+
+
+def test_logits_and_onehot_inputs():
+    logits = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8, 8, 3)), jnp.float32)
+    labels = jnp.asarray(np.eye(3)[np.random.default_rng(2).integers(0, 3, (1, 8, 8))],
+                         jnp.float32)
+    m = segmentation_metrics(logits, labels, 3)
+    assert 0.0 <= float(m["mean_iou"]) <= 1.0
+    assert np.asarray(m["confusion"]).sum() == 64
+
+
+def test_evaluate_folder(tmp_path):
+    from tpuseg.ops.metrics import evaluate_folder
+    from tpuseg.utils.imagio import imwrite
+
+    (tmp_path / "pred").mkdir()
+    (tmp_path / "true").mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        t = rng.integers(0, 2, (32, 32)).astype(np.uint8)
+        p = t.copy()
+        p[:8] = 1 - p[:8]  # corrupt a quarter
+        imwrite(str(tmp_path / "true" / f"m{i}.tif"), t)
+        imwrite(str(tmp_path / "pred" / f"m{i}.tif"), p)
+    res = evaluate_folder(str(tmp_path / "pred"), str(tmp_path / "true"), 2)
+    assert res["num_images"] == 3
+    assert abs(res["pixel_accuracy"] - 0.75) < 0.02
+    assert 0.4 < res["mean_iou"] < 0.75

@@ -1,0 +1,87 @@
+"""Segmentation quality metrics, computed on device.
+
+The reference tracks only CCE loss and categorical accuracy (train.py:105-108).
+Segmentation work reports mIoU, and BASELINE.md's parity bar is "mIoU parity
+on the bundled corpus" — so the framework carries a jit-friendly confusion
+matrix with IoU/Dice/pixel-accuracy derived from it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def confusion_matrix(pred: jax.Array, true: jax.Array, num_classes: int) -> jax.Array:
+    """[num_classes, num_classes] counts; rows = truth, cols = prediction.
+    Implemented as a one-hot matmul (MXU) rather than scatter (gather/scatter
+    is the slow path on TPU)."""
+    pred_oh = jax.nn.one_hot(pred.reshape(-1), num_classes, dtype=jnp.float32)
+    true_oh = jax.nn.one_hot(true.reshape(-1), num_classes, dtype=jnp.float32)
+    return jnp.einsum("nt,np->tp", true_oh, pred_oh, preferred_element_type=jnp.float32)
+
+
+def iou_from_confusion(cm: jax.Array) -> jax.Array:
+    """Per-class IoU; classes absent from both pred and truth get IoU 0."""
+    tp = jnp.diagonal(cm)
+    fp = jnp.sum(cm, axis=0) - tp
+    fn = jnp.sum(cm, axis=1) - tp
+    denom = tp + fp + fn
+    return jnp.where(denom > 0, tp / jnp.maximum(denom, 1.0), 0.0)
+
+
+def segmentation_metrics(logits_or_pred: jax.Array, labels: jax.Array,
+                         num_classes: int) -> Dict[str, jax.Array]:
+    """logits [N,H,W,C] (argmaxed here) or int predictions [N,H,W]; labels
+    one-hot [N,H,W,C] or int [N,H,W]."""
+    pred = (jnp.argmax(logits_or_pred, axis=-1)
+            if logits_or_pred.ndim == 4 else logits_or_pred)
+    true = jnp.argmax(labels, axis=-1) if labels.ndim == 4 else labels
+    cm = confusion_matrix(pred, true, num_classes)
+    iou = iou_from_confusion(cm)
+    present = (jnp.sum(cm, axis=1) + jnp.sum(cm, axis=0)) > 0
+    miou = jnp.sum(jnp.where(present, iou, 0.0)) / jnp.maximum(jnp.sum(present), 1)
+    tp = jnp.diagonal(cm)
+    dice_denom = 2 * tp + (jnp.sum(cm, axis=0) - tp) + (jnp.sum(cm, axis=1) - tp)
+    dice = jnp.where(dice_denom > 0, 2 * tp / jnp.maximum(dice_denom, 1.0), 0.0)
+    return {
+        "confusion": cm,
+        "iou": iou,
+        "mean_iou": miou,
+        "dice": dice,
+        "pixel_accuracy": jnp.sum(tp) / jnp.maximum(jnp.sum(cm), 1.0),
+    }
+
+
+def evaluate_folder(pred_folder: str, truth_folder: str, num_classes: int) -> Dict[str, float]:
+    """Host-side corpus evaluation: accumulate the confusion matrix over
+    matching mask files in two folders (e.g. inference output vs ground
+    truth), then derive mIoU/Dice/accuracy."""
+    import os
+
+    import numpy as np
+
+    from tpuseg.utils.imagio import imread
+
+    files = sorted(f for f in os.listdir(pred_folder)
+                   if os.path.exists(os.path.join(truth_folder, f)))
+    if not files:
+        raise IOError(f"no matching mask files between {pred_folder} and {truth_folder}")
+    cm_total = np.zeros((num_classes, num_classes), np.float64)
+    for fn in files:
+        pred = np.asarray(imread(os.path.join(pred_folder, fn))).astype(np.int32)
+        true = np.asarray(imread(os.path.join(truth_folder, fn))).astype(np.int32)
+        cm_total += np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(true),
+                                                num_classes))
+    cm = jnp.asarray(cm_total)
+    iou = iou_from_confusion(cm)
+    present = np.asarray((cm.sum(axis=1) + cm.sum(axis=0)) > 0)
+    miou = float(np.asarray(iou)[present].mean()) if present.any() else 0.0
+    return {
+        "mean_iou": miou,
+        "per_class_iou": [float(v) for v in np.asarray(iou)],
+        "pixel_accuracy": float(np.trace(cm_total) / max(cm_total.sum(), 1.0)),
+        "num_images": len(files),
+    }
