@@ -89,7 +89,8 @@ def inference(cfg: InferenceConfig) -> List[str]:
             if radius is None:
                 radius = estimate_radius(model, variables, cfg.number_channels)
                 print(f'Estimated radius based on ERF : "{radius}"')
-            mask = inference_tiled(img, predict_fn, cfg.tile_size, radius, cfg.batch_size)
+            mask = inference_tiled(img, predict_fn, cfg.tile_size, radius,
+                                   cfg.batch_size, num_classes=cfg.number_classes)
         else:
             mask = inference_single(img, predict_fn)
 
