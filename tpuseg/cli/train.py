@@ -53,7 +53,35 @@ def main(argv=None):
                         default=1,
                         help="run augmentation fused on-device [1] or on host CPUs "
                              "like the reference [0] (tpuseg extension)")
+    parser.add_argument("--resume_checkpoint", dest="resume_checkpoint", type=str,
+                        default=None,
+                        help="checkpoint directory to resume full training state from "
+                             "(tpuseg extension)")
+    # augmentation severities: hard-coded class attributes in the reference
+    # (imagereader.py:79-85, README.md:176-189); promoted to flags here
+    parser.add_argument("--rotation_flag", type=int, default=1)
+    parser.add_argument("--reflection_flag", type=int, default=1)
+    parser.add_argument("--jitter_severity", type=float, default=0.1,
+                        help="jitter as a fraction of the FOV")
+    parser.add_argument("--noise_severity", type=float, default=0.02,
+                        help="noise as a fraction of the image dynamic range")
+    parser.add_argument("--scale_severity", type=float, default=0.1)
+    parser.add_argument("--blur_max_sigma", type=float, default=2.0, help="pixels")
+    parser.add_argument("--intensity_severity", type=float, default=0.0,
+                        help="additive intensity shift as a fraction of dynamic range")
     args = parser.parse_args(argv)
+
+    from tpuseg.data.reader import AugmentParams
+
+    augment_params = AugmentParams(
+        reflection_flag=bool(args.reflection_flag),
+        rotation_flag=bool(args.rotation_flag),
+        jitter_augmentation_severity=args.jitter_severity,
+        noise_augmentation_severity=args.noise_severity,
+        scale_augmentation_severity=args.scale_severity,
+        blur_max_sigma=args.blur_max_sigma,
+        intensity_augmentation_severity=args.intensity_severity or None,
+    )
 
     cfg = TrainConfig(
         train_database=args.train_database_filepath,
@@ -72,6 +100,8 @@ def main(argv=None):
         max_epochs=args.max_epochs,
         dtype=args.dtype,
         device_augment=bool(args.device_augmentation),
+        resume_checkpoint=args.resume_checkpoint,
+        augment_params=augment_params,
     )
     train_model(cfg)
 

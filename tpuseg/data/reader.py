@@ -25,6 +25,7 @@ from __future__ import annotations
 import multiprocessing
 import queue as pyqueue
 import random
+import time
 import traceback
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
@@ -84,9 +85,17 @@ class ImageReader:
         self.workers: Optional[list] = None
         self.done = False
 
-        self.terminateQ: multiprocessing.Queue = multiprocessing.Queue(maxsize=self.nb_workers)
-        self.outQ: multiprocessing.Queue = multiprocessing.Queue(maxsize=self.maxOutQSize)
-        self.idQ: multiprocessing.Queue = multiprocessing.Queue(maxsize=self.nb_workers)
+        # forkserver, not fork: the parent runs JAX/TensorBoard/orbax threads,
+        # and forking a threaded process can hand the child a locked mutex
+        # (observed real deadlocks; the reference forks under TF and gets
+        # lucky). The forkserver daemon is a clean exec'd python, so children
+        # inherit no locks; and unlike 'spawn', children unpickle this module
+        # rather than re-importing __main__, so unguarded user scripts don't
+        # re-execute. Worker imports are jax-free => ~1s startup.
+        self._mp = multiprocessing.get_context("forkserver")
+        self.terminateQ = self._mp.Queue(maxsize=self.nb_workers)
+        self.outQ = self._mp.Queue(maxsize=self.maxOutQSize)
+        self.idQ = self._mp.Queue(maxsize=self.nb_workers)
 
         # probe the database: image geometry, %16 contract, key index
         store = RecordReader(self.image_db)
@@ -139,33 +148,52 @@ class ImageReader:
 
     # --- worker lifecycle (imagereader.py:175-207) ---
 
+    def __getstate__(self):
+        """Spawned workers pickle this object as the Process target; the
+        process handles and mp context stay behind."""
+        state = self.__dict__.copy()
+        state["workers"] = None
+        state["_mp"] = None
+        state.pop("_key_pos_cache", None)
+        return state
+
     def startup(self) -> None:
         self.workers = None
         self.done = False
         for i in range(self.nb_workers):
             self.idQ.put(i)
         self.workers = [
-            multiprocessing.Process(target=self._image_loader) for _ in range(self.nb_workers)
+            self._mp.Process(target=self._image_loader) for _ in range(self.nb_workers)
         ]
         for w in self.workers:
             w.start()
 
-    def shutdown(self) -> None:
+    def shutdown(self, timeout: float = 30.0) -> None:
+        """Stop workers and drain the output queue.
+
+        Termination is decided by worker liveness, not by counting None
+        sentinels (the reference's protocol, imagereader.py:188-207): any
+        concurrent consumer — e.g. a prefetch thread — may steal sentinels,
+        which would spin a count-based drain forever. Stuck workers are
+        terminated after ``timeout``."""
         if not self.workers:
             return
         for _ in self.workers:
             self.terminateQ.put(None)
-        nb_none_received = 0
-        while nb_none_received < len(self.workers):
+        deadline = time.time() + timeout
+        # keep draining so workers blocked in outQ.put can reach the
+        # terminate check and exit
+        while any(w.is_alive() for w in self.workers) and time.time() < deadline:
             try:
-                while True:
-                    val = self.outQ.get_nowait()
-                    if val is None:
-                        nb_none_received += 1
+                self.outQ.get(timeout=0.05)
             except pyqueue.Empty:
                 pass
         for w in self.workers:
-            w.join()
+            w.join(timeout=5.0)
+            if w.is_alive():
+                print(f"ImageReader: terminating unresponsive worker {w.pid}")
+                w.terminate()
+                w.join(timeout=5.0)
         self.workers = None
 
     # --- sampling (imagereader.py:209-243) ---
@@ -204,7 +232,10 @@ class ImageReader:
     def _image_loader(self) -> None:
         termination = False
         worker_id = self.idQ.get()
-        self.key_idx = worker_id  # stride start for the no-shuffle walk
+        # stride start for the no-shuffle walk; wrapped so more workers than
+        # records is safe (the reference indexes keys_flat[worker_id] raw,
+        # imagereader.py:247, and crashes in that configuration)
+        self.key_idx = worker_id % len(self.keys_flat)
         try:
             store = RecordReader(self.image_db)  # own zero-copy view per process
             rng = random.Random(None if self.seed is None else self.seed + worker_id)

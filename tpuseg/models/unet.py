@@ -79,23 +79,45 @@ class ConvBlock(nn.Module):
 
 
 class DeconvBlock(nn.Module):
-    """ConvTranspose(2x2, stride 2, same, linear) -> BatchNorm (ref model.py:39-48)."""
+    """ConvTranspose(2x2, stride 2, same, linear) -> BatchNorm (ref model.py:39-48).
+
+    A 2x2/stride-2 transposed conv writes each output pixel from exactly one
+    input pixel, so it is the same function family as a 1x1 conv to 4*features
+    followed by depth-to-space — a pure MXU matmul instead of the transposed-
+    conv lowering. ``impl='pixel_shuffle'`` selects that form (identical
+    parameter count and expressiveness; different parameter layout).
+    """
 
     features: int
     dtype: Any = jnp.bfloat16
+    impl: str = "conv_transpose"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = nn.ConvTranspose(
-            self.features,
-            (DECONV_KERNEL_SIZE, DECONV_KERNEL_SIZE),
-            strides=(POOLING_STRIDE, POOLING_STRIDE),
-            padding="SAME",
-            kernel_init=_KERNEL_INIT,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="deconv",
-        )(x)
+        if self.impl == "pixel_shuffle":
+            b, h, w, _ = x.shape
+            x = nn.Conv(
+                self.features * POOLING_STRIDE * POOLING_STRIDE,
+                (1, 1),
+                kernel_init=_KERNEL_INIT,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="deconv",
+            )(x)
+            s = POOLING_STRIDE
+            x = x.reshape(b, h, w, s, s, self.features)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * s, w * s, self.features)
+        else:
+            x = nn.ConvTranspose(
+                self.features,
+                (DECONV_KERNEL_SIZE, DECONV_KERNEL_SIZE),
+                strides=(POOLING_STRIDE, POOLING_STRIDE),
+                padding="SAME",
+                kernel_init=_KERNEL_INIT,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="deconv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=_BN_MOMENTUM,
@@ -126,6 +148,7 @@ class UNet(nn.Module):
     num_classes: int
     base_features: int = BASELINE_FEATURE_DEPTH
     dtype: Any = jnp.bfloat16
+    deconv_impl: str = "conv_transpose"  # or "pixel_shuffle" (see DeconvBlock)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -159,7 +182,7 @@ class UNet(nn.Module):
         # Decoder (ref model.py:114-134); concat order is (skip, up) on the
         # channel axis, matching model.py:117 `_concat(conv_4, deconv_4)`.
         def up(x, skip, feats, name):
-            x = DeconvBlock(feats, dtype=dt, name=f"{name}up")(x, train)
+            x = DeconvBlock(feats, dtype=dt, impl=self.deconv_impl, name=f"{name}up")(x, train)
             x = jnp.concatenate([skip, x], axis=-1)
             x = conv_pair(x, feats, name)
             return x

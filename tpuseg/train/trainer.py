@@ -66,6 +66,10 @@ class TrainConfig:
     # fuse into the train step on device (tpuseg.aug.device). Set False for the
     # reference's host-side (scipy) augmentation pipeline.
     device_augment: bool = True
+    # resume training from an existing checkpoint directory (full state incl.
+    # optimizer — the reference can only restart-from-best for inference,
+    # model.py:81-83; this is a tpuseg extension)
+    resume_checkpoint: Optional[str] = None
 
 
 @dataclass
@@ -133,6 +137,11 @@ def train_model(config: TrainConfig) -> TrainResult:
                  dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
     rng = jax.random.PRNGKey(0 if cfg.seed is None else cfg.seed)
     state = create_train_state(model, rng, number_channels, cfg.learning_rate)
+    if cfg.resume_checkpoint:
+        from tpuseg.utils.checkpoint import restore_train_state
+
+        state = restore_train_state(cfg.resume_checkpoint, state)
+        print(f"Resumed training state from {cfg.resume_checkpoint} at step {int(state.step)}")
     state = mesh_lib.replicate_state(state, mesh)
     if raw:
         from tpuseg.aug.device import DeviceAugmentParams
@@ -197,18 +206,26 @@ def train_model(config: TrainConfig) -> TrainResult:
                 train_writer.add_scalar("accuracy", acc, global_step)
                 final_train_loss = loss
 
-            # test epoch (train.py:152-171)
+            # test epoch (train.py:152-171); the iterator must be closed so
+            # its producer thread stops consuming the shared reader queue
             epoch_test_loss = []
             epoch_test_acc = []
             test_iter = device_prefetch(test_reader.batches(global_batch_size), data_sharding)
-            for step in range(int(test_epoch_size) + 1):
-                try:
-                    images, labels = next(test_iter)
-                except StopIteration:
-                    break
-                m = estep(state, images, labels)
-                epoch_test_loss.append(float(m["loss"]))
-                epoch_test_acc.append(float(m["accuracy"]))
+            try:
+                for step in range(int(test_epoch_size) + 1):
+                    try:
+                        images, labels = next(test_iter)
+                    except StopIteration:
+                        break
+                    m = estep(state, images, labels)
+                    epoch_test_loss.append(float(m["loss"]))
+                    epoch_test_acc.append(float(m["accuracy"]))
+            finally:
+                test_iter.close()
+            if not epoch_test_loss:
+                raise RuntimeError(
+                    "test epoch produced no batches — the test readers died "
+                    "or the test database is smaller than one global batch")
             test_loss.append(float(np.mean(epoch_test_loss)))
             mean_acc = float(np.mean(epoch_test_acc))
             print(f"Test Epoch: {epoch}: Loss = {test_loss[-1]} Accuracy = {mean_acc}")
@@ -242,6 +259,10 @@ def train_model(config: TrainConfig) -> TrainResult:
                 break
             epoch += 1
     finally:
+        try:
+            train_iter.close()
+        except NameError:
+            pass
         print("Shutting down train_reader")
         train_reader.shutdown()
         print("Shutting down test_reader")
