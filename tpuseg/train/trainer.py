@@ -37,7 +37,8 @@ from tpuseg.models.unet import UNet
 from tpuseg.parallel import mesh as mesh_lib
 from tpuseg.train.prefetch import device_prefetch
 from tpuseg.train.steps import create_train_state
-from tpuseg.utils.checkpoint import save_checkpoint
+from tpuseg.utils.checkpoint import AsyncCheckpointWriter
+from tpuseg.utils.profiling import ThroughputMeter
 
 CONVERGENCE_TOLERANCE = 1e-4  # train.py:187
 
@@ -181,6 +182,8 @@ def train_model(config: TrainConfig) -> TrainResult:
         epoch = 0
         best_epoch = 0
         final_train_loss = float("nan")
+        ckpt_writer = AsyncCheckpointWriter()
+        meter = ThroughputMeter()
         print("Running Network")
         while True:
             print(f"---- Epoch: {epoch} ----")
@@ -199,11 +202,14 @@ def train_model(config: TrainConfig) -> TrainResult:
                 state, metrics = tstep(state, images, labels)
                 loss = float(metrics["loss"])
                 acc = float(metrics["accuracy"])
+                meter.update(global_batch_size)
                 print(f"Train Epoch {epoch}: Batch {step}/{train_epoch_size}: "
                       f"Loss {loss} Accuracy = {acc}")
                 global_step = int(epoch * train_epoch_size + step)
                 train_writer.add_scalar("loss", loss, global_step)
                 train_writer.add_scalar("accuracy", acc, global_step)
+                if meter.images_per_sec:
+                    train_writer.add_scalar("images_per_sec", meter.images_per_sec, global_step)
                 final_train_loss = loss
 
             # test epoch (train.py:152-171); the iterator must be closed so
@@ -238,10 +244,11 @@ def train_model(config: TrainConfig) -> TrainResult:
 
             print(f"Epoch took: {time.time() - start_time} s")
 
-            # checkpoint-on-best (train.py:181-184)
+            # checkpoint-on-best (train.py:181-184), written in the background
+            # so the device keeps training through the host transfer
             if (len(test_loss) - 1) == int(np.argmin(test_loss)):
                 print(f"Test loss improved: {np.min(test_loss)}, saving checkpoint")
-                save_checkpoint(checkpoint_path, state)
+                ckpt_writer.save(checkpoint_path, state)
 
             # early stopping (train.py:187-199)
             print("Best Current Epoch Selection:")
@@ -259,6 +266,10 @@ def train_model(config: TrainConfig) -> TrainResult:
                 break
             epoch += 1
     finally:
+        try:
+            ckpt_writer.wait()  # flush any in-flight checkpoint write
+        except NameError:
+            pass
         try:
             train_iter.close()
         except NameError:
