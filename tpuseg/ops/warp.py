@@ -136,14 +136,82 @@ def _shear_rows_pallas(img_padded: jnp.ndarray, shift: jnp.ndarray, frac: jnp.nd
     )(shift, frac, img_padded)
 
 
+def _roll_shear_kernel(shift_ref, frac_ref, img_ref, out_ref):
+    """Per-row dynamic lane rotation: out[r, c] = in[r, c + s] blended with
+    the +1 tap. ``pltpu.roll`` takes a traced shift (unlike vector loads,
+    whose lane offsets must be static), so each row costs two rolls and a
+    multiply-add — no gathers, no DMA."""
+    n = pl.program_id(0)
+    hb = pl.program_id(1)
+    wp = img_ref.shape[2]
+    w = out_ref.shape[2]
+    for r in range(_ROWS_PER_PROGRAM):
+        h = hb * _ROWS_PER_PROGRAM + r
+        s = shift_ref[n, h]
+        f = frac_ref[n, h]
+        row = img_ref[0, r:r + 1, :]
+        left = pltpu.roll(row, shift=wp - s, axis=1)  # == roll(-s)
+        out_ref[0, r:r + 1, :] = left[:, :w] * (1.0 - f) + (
+            pltpu.roll(left, shift=wp - 1, axis=1)[:, :w] * f)
+
+
+def _shear_rows_roll_pallas(img_padded: jnp.ndarray, shift: jnp.ndarray,
+                            frac: jnp.ndarray, out_width: int) -> jnp.ndarray:
+    n, h, wp = img_padded.shape
+    assert h % _ROWS_PER_PROGRAM == 0
+    # lane-align the rolled dimension; rows never read into the filler
+    # (shift + out_width stays within the mirror padding)
+    if wp % 128:
+        img_padded = jnp.pad(img_padded, ((0, 0), (0, 0), (0, (-wp) % 128)))
+        wp = img_padded.shape[2]
+    if out_width % 128:
+        pad_out = (-out_width) % 128
+        out = _shear_rows_roll_pallas(
+            jnp.pad(img_padded, ((0, 0), (0, 0), (0, pad_out))), shift, frac,
+            out_width + pad_out)
+        return out[..., :out_width]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n, h // _ROWS_PER_PROGRAM),
+        in_specs=[
+            pl.BlockSpec((1, _ROWS_PER_PROGRAM, wp),
+                         lambda ni, hb, *_: (ni, hb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _ROWS_PER_PROGRAM, out_width),
+                               lambda ni, hb, *_: (ni, hb, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _roll_shear_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, out_width), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(shift, frac, img_padded)
+
+
 def _shear_rows(img_padded, shift, frac, out_width):
-    """Dispatch: barrel shifter by default; the Pallas DMA kernel is opt-in
-    (TPUSEG_PALLAS_SHEAR=1) — this environment's chipless remote compiler
-    crashes on kernels with manual DMA, and the barrel shifter matches it
-    within measurement noise anyway."""
+    """Dispatch between three bit-identical shear implementations.
+
+    - default ``barrel``: pure-XLA log2(W) barrel shifter. XLA fuses the
+      roll+select stages into ~one memory pass over the batch — measured
+      12.4 ms for a full 512²x8 augmentation;
+    - ``TPUSEG_SHEAR=roll``: Pallas kernel using per-row dynamic lane
+      rotation (``pltpu.roll`` with a traced shift). Compiles and matches
+      exactly, but (1, W) row slabs waste 7/8 of the VPU sublanes —
+      measured 68 ms for the same augmentation — so it is not the default;
+    - ``TPUSEG_SHEAR=dma``: Pallas kernel fetching each shifted row by
+      async DMA (arbitrary offsets are legal for the DMA engine, unlike
+      vector loads). The canonical form on standard TPU runtimes; this
+      environment's chipless remote compiler crashes on manual-DMA kernels.
+    CPU runs the Pallas variants in interpret mode.
+    """
     import os
 
-    if os.environ.get("TPUSEG_PALLAS_SHEAR") == "1":
+    mode = os.environ.get("TPUSEG_SHEAR", "barrel")
+    if mode == "roll":
+        return _shear_rows_roll_pallas(img_padded, shift, frac, out_width)
+    if mode == "dma":
         return _shear_rows_pallas(img_padded, shift, frac, out_width)
     return _shear_rows_barrel(img_padded, shift, frac, out_width)
 
