@@ -20,7 +20,6 @@ otherwise identical to inference.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, List, Optional, Tuple
 
 import jax

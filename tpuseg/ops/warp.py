@@ -30,9 +30,6 @@ Square images take the fast path; non-square fall back to the gather warp
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
