@@ -89,3 +89,38 @@ def test_gradients_are_global_batch_mean():
     p_leaf = np.asarray(jax.tree.leaves(new_p.params)[0])
     s_leaf = np.asarray(jax.tree.leaves(new_s.params)[0])
     np.testing.assert_allclose(p_leaf, s_leaf, atol=2e-5)
+
+
+def test_optimizer_state_sharding_zero1():
+    """ZeRO-1 weight-update sharding: same training result, Adam moments
+    physically sharded over the data axis."""
+    model = UNet(num_classes=2, base_features=2, dtype=jnp.float32)
+    mesh = mesh_lib.make_mesh()
+    img, lbl = _toy_batch(9, n=8)
+
+    state_r = mesh_lib.replicate_state(
+        create_train_state(model, jax.random.PRNGKey(4), 1, 1e-2), mesh)
+    tstep_r, _ = mesh_lib.make_parallel_steps(model, mesh)
+
+    state_s = create_train_state(model, jax.random.PRNGKey(4), 1, 1e-2)
+    tstep_s, estep_s = mesh_lib.make_parallel_steps(
+        model, mesh, shard_optimizer=True, state=state_s)
+    state_s = mesh_lib.shard_state(state_s, mesh, shard_optimizer=True)
+
+    pimg, plbl = mesh_lib.shard_batch(mesh, img, lbl)
+    new_r, m_r = tstep_r(state_r, pimg, plbl)
+    new_s, m_s = tstep_s(state_s, pimg, plbl)
+
+    np.testing.assert_allclose(float(m_r["loss"]), float(m_s["loss"]), rtol=1e-6)
+    a = np.asarray(jax.tree.leaves(new_r.params)[0])
+    b = np.asarray(jax.tree.leaves(new_s.params)[0])
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+    # a large Adam moment leaf is genuinely sharded (not replicated)
+    mu_leaves = [l for l in jax.tree.leaves(new_s.opt_state)
+                 if getattr(l, "ndim", 0) == 4 and l.shape[-1] >= 8]
+    assert mu_leaves and not mu_leaves[0].sharding.is_fully_replicated
+
+    # and the sharded-state step keeps training
+    new_s2, m2 = tstep_s(new_s, pimg, plbl)
+    assert np.isfinite(float(m2["loss"]))

@@ -67,9 +67,37 @@ def shard_batch(mesh: Mesh, images, labels) -> Tuple[jax.Array, jax.Array]:
     return jax.device_put(images, bs), jax.device_put(labels, bs)
 
 
-def make_parallel_steps(model, mesh: Mesh, label_smoothing: float = 0.0):
-    """(train_step, eval_step) jitted over the mesh: state replicated,
-    batch sharded, donation on. The returned functions are drop-in
+def optimizer_sharding(state, mesh: Mesh) -> "Any":
+    """ZeRO-1-style weight-update sharding (cf. "Automatic Cross-Replica
+    Sharding of Weight Update in Data-Parallel Training"): Adam moments are
+    pure per-parameter state, so they shard over the 'data' axis — GSPMD
+    reduce-scatters the gradients into the shards and each device updates
+    1/N of the optimizer state. Leaves whose trailing dim doesn't divide the
+    axis stay replicated (the head conv's tiny tensors)."""
+    n = mesh.shape["data"]
+
+    def leaf_spec(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[-1] % n == 0 and x.shape[-1] >= n:
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["data"])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(leaf_spec, state.opt_state)
+
+
+def state_shardings(state, mesh: Mesh, shard_optimizer: bool = False):
+    """Pytree of NamedShardings matching a TrainState."""
+    repl = replicated(mesh)
+    tree = jax.tree.map(lambda _: repl, state)
+    if shard_optimizer:
+        tree = tree.replace(opt_state=optimizer_sharding(state, mesh))
+    return tree
+
+
+def make_parallel_steps(model, mesh: Mesh, label_smoothing: float = 0.0,
+                        shard_optimizer: bool = False, state=None):
+    """(train_step, eval_step) jitted over the mesh: params replicated,
+    batch sharded, optionally optimizer state sharded over 'data'
+    (requires ``state`` to derive the sharding tree), donation on. Drop-in
     replacements for the single-device pair from make_jitted_steps.
 
     On a 1-device mesh the GSPMD annotations are pure overhead (and the
@@ -81,16 +109,22 @@ def make_parallel_steps(model, mesh: Mesh, label_smoothing: float = 0.0):
     tx = steps_lib.make_optimizer()
     repl = replicated(mesh)
     data = batch_sharding(mesh)
+    if shard_optimizer:
+        if state is None:
+            raise ValueError("shard_optimizer=True needs the state template")
+        state_shard = state_shardings(state, mesh, shard_optimizer=True)
+    else:
+        state_shard = repl
 
     tstep = jax.jit(
         functools.partial(steps_lib.train_step, model, tx, label_smoothing=label_smoothing),
-        in_shardings=(repl, data, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state_shard, data, data),
+        out_shardings=(state_shard, repl),
         donate_argnums=(0,),
     )
     estep = jax.jit(
         functools.partial(steps_lib.eval_step, model, label_smoothing=label_smoothing),
-        in_shardings=(repl, data, data),
+        in_shardings=(state_shard, data, data),
         out_shardings=repl,
     )
     return tstep, estep
@@ -157,3 +191,11 @@ def replicate_state(state, mesh: Mesh):
     if mesh.devices.size == 1:
         return state
     return jax.device_put(state, replicated(mesh))
+
+
+def shard_state(state, mesh: Mesh, shard_optimizer: bool = False):
+    """Place a host-initialized train state on the mesh, optionally with the
+    optimizer moments sharded over 'data' (see optimizer_sharding)."""
+    if mesh.devices.size == 1:
+        return state
+    return jax.device_put(state, state_shardings(state, mesh, shard_optimizer))
