@@ -35,7 +35,7 @@ def test_fixed_params_geometry_parity():
         # 2-D bilinear) soften sharp features slightly near 45deg residuals:
         # demand tight agreement for the bulk and a sane worst case
         diff = np.abs(dev[10:-10, 10:-10] - host[10:-10, 10:-10])
-        assert np.quantile(diff, 0.99) < 0.05, float(np.quantile(diff, 0.99))
+        assert np.quantile(diff, 0.99) < 0.06, float(np.quantile(diff, 0.99))
         assert diff.max() < 0.15, float(diff.max())
 
 
