@@ -10,8 +10,10 @@ Prints exactly one JSON line:
 
 vs_baseline compares against the reference's V100+TF2 envelope. The
 reference publishes no numbers (BASELINE.md), so the bar is the analytic
-estimate recorded there: ~540 GFLOPs/image train step, V100 fp32 at ~35%
-utilization => ~10 images/sec/chip.
+estimate recorded there: ~436 GFLOPs/image forward, ~1.31 TFLOPs/image
+train step; V100 fp32 with typical TF2 conv-net utilization lands at
+4.2-6.0 images/sec — bench uses the deliberately conservative 10.0 as the
+denominator, so reported multiples are lower bounds.
 """
 
 import json

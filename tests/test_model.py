@@ -107,8 +107,8 @@ def test_param_count_matches_reference_arch():
     variables = init_variables(model, jax.random.PRNGKey(0), num_channels=1)
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
 
-    def conv(cin, cout, k):
-        return k * k * cin * cout + cout + 2 * cout  # kernel + bias + bn scale/beta
+    def conv(cin, cout, k, bias=True):
+        return k * k * cin * cout + (cout if bias else 0) + 2 * cout  # kernel (+bias) + bn scale/beta
 
     expect = 0
     cin = 1
@@ -116,7 +116,8 @@ def test_param_count_matches_reference_arch():
         expect += conv(cin, f, 3) + conv(f, f, 3)
         cin = f
     for f in [512, 256, 128, 64]:
-        expect += conv(cin, f, 2)  # deconv + bn
+        # deconv + bn; no deconv bias — BN cancels it (see DeconvBlock)
+        expect += conv(cin, f, 2, bias=False)
         expect += conv(2 * f, f, 3) + conv(f, f, 3)
         cin = f
     expect += conv(64, 2, 1)

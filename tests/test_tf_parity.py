@@ -76,7 +76,10 @@ def _load_flax_into_keras(kmodel, params, batch_stats):
         s = batch_stats[name]
         if name.endswith("up"):
             kern = np.asarray(p["deconv"]["kernel"])  # flax: (kh, kw, in, out)
-            bias = np.asarray(p["deconv"]["bias"])
+            # tpuseg drops the deconv bias (BN cancels it; its gradient is
+            # identically zero so reference checkpoints keep it at 0) — feed
+            # Keras the zero vector it expects.
+            bias = np.zeros(kern.shape[-1], np.float32)
             # keras Conv2DTranspose: (kh, kw, out, in) in the gradient-of-conv
             # convention — spatially 180°-rotated relative to flax's
             # fractionally-strided-conv kernel (verified empirically)

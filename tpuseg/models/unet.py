@@ -86,6 +86,14 @@ class DeconvBlock(nn.Module):
     followed by depth-to-space — a pure MXU matmul instead of the transposed-
     conv lowering. ``impl='pixel_shuffle'`` selects that form (identical
     parameter count and expressiveness; different parameter layout).
+
+    No bias in either impl: BatchNorm directly follows the linear deconv, so
+    a per-channel constant shift cancels exactly (BN subtracts the batch
+    mean) — the reference's Keras ConvTranspose bias is a dead parameter
+    whose gradient is identically zero (verified numerically; it stays at
+    its zero init forever, so dropping it is function- and
+    checkpoint-value-preserving). Measured cost of keeping it: ~3 ms/step
+    of pure zero-computing reduction passes at 512x512 batch 8.
     """
 
     features: int
@@ -99,6 +107,7 @@ class DeconvBlock(nn.Module):
             x = nn.Conv(
                 self.features * POOLING_STRIDE * POOLING_STRIDE,
                 (1, 1),
+                use_bias=False,
                 kernel_init=_KERNEL_INIT,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
@@ -113,6 +122,7 @@ class DeconvBlock(nn.Module):
                 (DECONV_KERNEL_SIZE, DECONV_KERNEL_SIZE),
                 strides=(POOLING_STRIDE, POOLING_STRIDE),
                 padding="SAME",
+                use_bias=False,
                 kernel_init=_KERNEL_INIT,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,

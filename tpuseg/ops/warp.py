@@ -115,7 +115,7 @@ def _shear_rows_pallas(img_padded: jnp.ndarray, shift: jnp.ndarray, frac: jnp.nd
         grid=grid,
         in_specs=[
             # stays in HBM; the kernel DMAs the slices it needs
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, _ROWS_PER_PROGRAM, out_width),
                                lambda ni, hb, *_: (ni, hb, 0),

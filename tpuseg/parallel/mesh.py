@@ -180,7 +180,9 @@ def make_parallel_raw_steps(model, mesh: Mesh, num_classes: int, aug_params=None
         return tstep_inner(state.replace(rng=rng), images, labels)
 
     def _eval(state, raw_images, raw_masks):
-        images, labels = aug_eval(state.rng, raw_images, raw_masks)
+        # rng unused under augment=False; fold_in so the live training key
+        # is never handed to another consumer
+        images, labels = aug_eval(jax.random.fold_in(state.rng, 1), raw_images, raw_masks)
         return estep_inner(state, images, labels)
 
     return _train, _eval

@@ -152,8 +152,11 @@ def make_jitted_raw_steps(model: UNet, num_classes: int, aug_params=None,
         return tstep_inner(state.replace(rng=rng), images, labels)
 
     def _eval(state: TrainState, raw_images, raw_masks):
+        # rng is unused with augment=False; fold_in anyway so eval never
+        # hands the live training key to another consumer
         images, labels = augment_and_preprocess_batch(
-            state.rng, raw_images, raw_masks, aug_params, num_classes, augment=False)
+            jax.random.fold_in(state.rng, 1), raw_images, raw_masks,
+            aug_params, num_classes, augment=False)
         return estep_inner(state, images, labels)
 
     return _train, _eval
