@@ -3,15 +3,28 @@
 The reference uses skimage.io (imagereader.py:69-74, inference.py:221-227),
 which is absent here; imageio (with cv2 fallback) covers the same formats,
 including 16-bit single-channel TIFF — the bundled NIST corpus format.
+TIFF masks are written as tiled deflate-compressed **BigTIFF** via the
+native writer in tpuseg.utils.bigtiff, matching the reference's
+``imsave(..., compress=6, bigtiff=True, tile=(1024,1024))``
+(inference.py:221-222) so whole-slide masks past the 4 GiB classic-TIFF
+limit stay writable.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from tpuseg.utils import bigtiff
+
 
 def imread(fp: str) -> np.ndarray:
     """Read an image preserving dtype and channel count (HW or HWC)."""
+    try:
+        if bigtiff.is_bigtiff(fp):
+            # Pillow (imageio's TIFF backend here) cannot parse BigTIFF
+            return bigtiff.read_bigtiff(fp)
+    except (OSError, IOError):
+        pass
     try:
         import imageio.v3 as iio
 
@@ -27,16 +40,13 @@ def imread(fp: str) -> np.ndarray:
         return img
 
 
-def imwrite(fp: str, img: np.ndarray, **kwargs) -> None:
-    """Write an image; TIFF gets deflate compression like the reference's
-    ``compress=6`` (inference.py:222). BigTIFF/tiling knobs are accepted and
-    applied when the backend supports them, ignored otherwise."""
+def imwrite(fp: str, img: np.ndarray, tile=(1024, 1024), compress_level: int = 6) -> None:
+    """Write an image. TIFF output is tiled deflate BigTIFF per the
+    reference mask-save contract (inference.py:221-222); other formats go
+    through imageio."""
+    if fp.lower().endswith((".tif", ".tiff")):
+        bigtiff.write_bigtiff(fp, np.asarray(img), tile=tile, level=compress_level)
+        return
     import imageio.v3 as iio
 
-    if fp.lower().endswith((".tif", ".tiff")):
-        try:
-            iio.imwrite(fp, img, compression="deflate")
-            return
-        except Exception:
-            pass
     iio.imwrite(fp, img)
