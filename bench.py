@@ -23,6 +23,104 @@ import time
 V100_TF2_BASELINE_IMG_PER_SEC = 10.0  # analytic estimate, see BASELINE.md
 
 
+def _build_bench_db(root: str, records: int = 64, hw: int = 512) -> str:
+    """A small 512^2 database of synthetic uint16 image / uint8 mask tiles,
+    written through the real serializer + record store."""
+    import numpy as np
+
+    from tpuseg.data.build_db import serialize_image_mask_pair
+    from tpuseg.data.recordstore import RecordWriter
+
+    db = f"{root}/train-bench.lmdb"
+    import os
+
+    os.makedirs(db, exist_ok=True)
+    rng = np.random.default_rng(0)
+    writer = RecordWriter(db)
+    try:
+        for i in range(records):
+            img = rng.integers(0, 4096, size=(hw, hw, 1)).astype(np.uint16)
+            msk = (img[..., 0] > 2048).astype(np.uint8)
+            writer.put(f"tile{i:04d}:0,1", serialize_image_mask_pair(img, msk))
+    finally:
+        writer.close()
+    return db
+
+
+def bench_e2e():
+    """End-to-end input pipeline: record store -> forkserver readers (raw
+    mode) -> bounded queue -> prefetch device_put -> fused on-device
+    augmentation + train step (VERDICT r1 item 3).
+
+    Reports two numbers: the host pipeline rate (readers+queue alone — what
+    the chips would be fed at on a real host) and the e2e device rate. In
+    this environment host->device goes through a ~7-15 MB/s tunnel
+    (CLAUDE.md), so the e2e figure is transfer-bound and the host rate is
+    the pipeline-capability signal; on real TPU hosts (PCIe/DMA at GB/s)
+    the transfer term vanishes.
+    """
+    import tempfile
+
+    from tpuseg.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+    import jax
+
+    from tpuseg.data.reader import ImageReader
+    from tpuseg.models.unet import UNet
+    from tpuseg.train.prefetch import device_prefetch
+    from tpuseg.train.steps import create_train_state, make_jitted_raw_steps
+
+    batch, steps = 8, 30
+    with tempfile.TemporaryDirectory() as tmp:
+        db = _build_bench_db(tmp)
+        reader = ImageReader(db, raw_mode=True, shuffle=True, num_workers=4,
+                             number_classes=2, layout="nhwc", seed=0)
+        try:
+            reader.startup()
+
+            # (a) host pipeline rate: drain stacked raw batches, no device
+            host_iter = reader.batches(batch)
+            next(host_iter)  # let workers spin up before timing
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                next(host_iter)
+            host_dt = time.perf_counter() - t0
+            host_rate = steps * batch / host_dt
+            qdepth = reader.get_queue_size()
+
+            # (b) e2e through prefetch + device: fused augment+train program
+            model = UNet(num_classes=2)
+            state = create_train_state(model, jax.random.PRNGKey(0),
+                                       num_channels=1, learning_rate=3e-4)
+            tstep, _ = make_jitted_raw_steps(model, num_classes=2, augment=True)
+            it = device_prefetch(reader.batches(batch), None)
+            imgs, msks = next(it)
+            state, m = tstep(state, imgs, msks)  # compile
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                imgs, msks = next(it)
+                state, m = tstep(state, imgs, msks)
+            float(m["loss"])
+            e2e_dt = time.perf_counter() - t0
+            e2e_rate = steps * batch / e2e_dt
+            mb_per_step = batch * 512 * 512 * 3 / 1e6  # uint16 img + uint8 mask
+            it.close()
+        finally:
+            reader.shutdown()
+
+    print(json.dumps({
+        "metric": "unet_e2e_train_throughput_512px",
+        "value": round(e2e_rate, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(e2e_rate / V100_TF2_BASELINE_IMG_PER_SEC, 2),
+        "host_pipeline_images_per_sec": round(host_rate, 2),
+        "reader_queue_depth": qdepth,
+        "host_to_device_MB_per_step": round(mb_per_step, 2),
+        "transfer_MB_per_sec": round(mb_per_step * e2e_rate / batch, 2),
+    }))
+
+
 def main():
     from tpuseg.utils.compile_cache import enable as _enable_cache
     _enable_cache()
@@ -64,4 +162,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--e2e" in sys.argv:
+        sys.exit(bench_e2e())
     sys.exit(main())
