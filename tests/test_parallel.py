@@ -124,3 +124,37 @@ def test_optimizer_state_sharding_zero1():
     # and the sharded-state step keeps training
     new_s2, m2 = tstep_s(new_s, pimg, plbl)
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_raw_steps_zero1_sharding():
+    """ZeRO-1 on the raw/device-augment path (make_parallel_raw_steps):
+    moments physically sharded, losses match the replicated raw path."""
+    model = UNet(num_classes=2, base_features=8, dtype=jnp.float32)
+    mesh = mesh_lib.make_mesh()
+    raw_img = (jax.random.uniform(jax.random.PRNGKey(11), (8, 32, 32, 1)) * 1000
+               ).astype(jnp.uint16)
+    raw_msk = (raw_img[..., 0] > 500).astype(jnp.uint8)
+
+    state_r = create_train_state(model, jax.random.PRNGKey(5), 1, 1e-2)
+    tstep_r, _ = mesh_lib.make_parallel_raw_steps(model, mesh, 2, augment=False)
+    state_r = mesh_lib.replicate_state(state_r, mesh)
+
+    state_s = create_train_state(model, jax.random.PRNGKey(5), 1, 1e-2)
+    tstep_s, estep_s = mesh_lib.make_parallel_raw_steps(
+        model, mesh, 2, augment=False, shard_optimizer=True, state=state_s)
+    state_s = mesh_lib.shard_state(state_s, mesh, shard_optimizer=True)
+
+    sharding = mesh_lib.raw_batch_sharding(mesh)
+    pimg = jax.device_put(raw_img, sharding)
+    pmsk = jax.device_put(raw_msk, sharding)
+
+    new_r, m_r = tstep_r(state_r, pimg, pmsk)
+    new_s, m_s = tstep_s(state_s, pimg, pmsk)
+    np.testing.assert_allclose(float(m_r["loss"]), float(m_s["loss"]), rtol=1e-6)
+
+    mu_leaves = [l for l in jax.tree.leaves(new_s.opt_state)
+                 if getattr(l, "ndim", 0) == 4 and l.shape[-1] >= 8]
+    assert mu_leaves and not mu_leaves[0].sharding.is_fully_replicated
+
+    ev = estep_s(new_s, pimg, pmsk)
+    assert np.isfinite(float(ev["loss"]))

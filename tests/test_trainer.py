@@ -65,6 +65,42 @@ def test_train_model_end_to_end(dbs, tmp_path, device_augment):
     assert os.path.isdir(os.path.join(out, "checkpoint", "ckpt"))
 
 
+def test_train_model_zero1_matches_replicated(dbs, tmp_path):
+    """--shard_optimizer runs the full train_model loop with ZeRO-1 sharded
+    Adam moments on the 8-device CPU mesh and reproduces the replicated
+    losses (VERDICT r1 item 5). Covers the raw/device-augment path, whose
+    sharding plumbing is separate from make_parallel_steps'."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    train_db, test_db = dbs
+    results = {}
+    for shard in (False, True):
+        cfg = TrainConfig(
+            train_database=train_db,
+            test_database=test_db,
+            output_folder=str(tmp_path / f"zero{int(shard)}"),
+            batch_size=1,  # x8 devices = global batch 8
+            test_every_n_steps=2,
+            early_stopping_count=1,
+            use_augmentation=False,  # deterministic: loss must match exactly-ish
+            max_epochs=2,
+            dtype="float32",
+            base_features=8,  # moments shard 8-way over the data axis
+            seed=0,
+            device_augment=True,
+            shard_optimizer=shard,
+        )
+        results[shard] = train_model(cfg)
+
+    # single-step equality is pinned at rtol 1e-6 in test_parallel; across a
+    # multi-epoch trajectory the reduce-scatter vs all-reduce summation
+    # order drifts through Adam's epsilon-sensitive early steps — allow
+    # trajectory-level noise only
+    assert results[True].test_loss == pytest.approx(results[False].test_loss, rel=2e-3)
+    assert np.isfinite(results[True].final_train_loss)
+
+
 def test_checkpoint_roundtrip(dbs, tmp_path):
     import jax
     import jax.numpy as jnp

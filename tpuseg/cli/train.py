@@ -57,6 +57,14 @@ def main(argv=None):
                         default=None,
                         help="checkpoint directory to resume full training state from "
                              "(tpuseg extension)")
+    parser.add_argument("--shard_optimizer", dest="shard_optimizer", type=int, default=0,
+                        help="ZeRO-1 weight-update sharding: shard Adam moments over "
+                             "the data-parallel mesh axis [0 = replicate, 1 = shard] "
+                             "(tpuseg extension; no-op on a single chip)")
+    parser.add_argument("--multihost", dest="multihost", type=int, default=0,
+                        help="initialize jax.distributed for multi-host (DCN) training; "
+                             "run once per TPU host, coordinator auto-detected on TPU "
+                             "VMs [0 = single host, 1 = multi-host] (tpuseg extension)")
     # augmentation severities: hard-coded class attributes in the reference
     # (imagereader.py:79-85, README.md:176-189); promoted to flags here
     parser.add_argument("--rotation_flag", type=int, default=1)
@@ -70,6 +78,12 @@ def main(argv=None):
     parser.add_argument("--intensity_severity", type=float, default=0.0,
                         help="additive intensity shift as a fraction of dynamic range")
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        # must run before first jax device use so jax.devices() spans the pod
+        from tpuseg.parallel.distributed import initialize_distributed
+
+        initialize_distributed()
 
     from tpuseg.data.reader import AugmentParams
 
@@ -101,6 +115,7 @@ def main(argv=None):
         dtype=args.dtype,
         device_augment=bool(args.device_augmentation),
         resume_checkpoint=args.resume_checkpoint,
+        shard_optimizer=bool(args.shard_optimizer),
         augment_params=augment_params,
     )
     train_model(cfg)

@@ -140,9 +140,12 @@ def raw_batch_sharding(mesh: Mesh) -> Optional[NamedSharding]:
 
 
 def make_parallel_raw_steps(model, mesh: Mesh, num_classes: int, aug_params=None,
-                            augment: bool = True, label_smoothing: float = 0.0):
+                            augment: bool = True, label_smoothing: float = 0.0,
+                            shard_optimizer: bool = False, state=None):
     """Raw-batch (train_step, eval_step) over the mesh: augmentation,
-    normalization, one-hot, fwd/bwd, and Adam all in one sharded program."""
+    normalization, one-hot, fwd/bwd, and Adam all in one sharded program.
+    ``shard_optimizer=True`` adds ZeRO-1 weight-update sharding of the Adam
+    moments over the 'data' axis (requires the ``state`` template)."""
     if mesh.devices.size == 1:
         return steps_lib.make_jitted_raw_steps(
             model, num_classes, aug_params, augment, label_smoothing)
@@ -154,6 +157,12 @@ def make_parallel_raw_steps(model, mesh: Mesh, num_classes: int, aug_params=None
     repl = replicated(mesh)
     data = raw_batch_sharding(mesh)
     proc = batch_sharding(mesh)
+    if shard_optimizer:
+        if state is None:
+            raise ValueError("shard_optimizer=True needs the state template")
+        state_shard = state_shardings(state, mesh, shard_optimizer=True)
+    else:
+        state_shard = repl
 
     # two-program composition (see steps.make_jitted_raw_steps): augment
     # program keeps the data-only sharding; the optimization program takes
@@ -169,10 +178,11 @@ def make_parallel_raw_steps(model, mesh: Mesh, num_classes: int, aug_params=None
         in_shardings=(None, data, data), out_shardings=(proc, proc))
     tstep_inner = jax.jit(
         functools.partial(steps_lib.train_step, model, tx, label_smoothing=label_smoothing),
-        in_shardings=(repl, proc, proc), out_shardings=(repl, repl), donate_argnums=(0,))
+        in_shardings=(state_shard, proc, proc), out_shardings=(state_shard, repl),
+        donate_argnums=(0,))
     estep_inner = jax.jit(
         functools.partial(steps_lib.eval_step, model, label_smoothing=label_smoothing),
-        in_shardings=(repl, proc, proc), out_shardings=repl)
+        in_shardings=(state_shard, proc, proc), out_shardings=repl)
 
     def _train(state, raw_images, raw_masks):
         rng, aug_rng = split(state.rng)

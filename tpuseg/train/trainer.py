@@ -71,6 +71,10 @@ class TrainConfig:
     # optimizer — the reference can only restart-from-best for inference,
     # model.py:81-83; this is a tpuseg extension)
     resume_checkpoint: Optional[str] = None
+    # ZeRO-1 weight-update sharding: Adam moments sharded over the 'data'
+    # mesh axis, gradients reduce-scattered into the shards (tpuseg
+    # extension; no-op on a single device)
+    shard_optimizer: bool = False
 
 
 @dataclass
@@ -109,11 +113,22 @@ def train_model(config: TrainConfig) -> TrainResult:
 
     os.makedirs(cfg.output_folder, exist_ok=True)
 
-    mesh = mesh_lib.make_mesh()
+    if jax.process_count() > 1:
+        # multi-host: hosts contiguous on the data axis (psums ride ICI
+        # first, DCN only at slice boundaries); each host feeds its slice
+        from tpuseg.parallel import distributed
+
+        mesh = distributed.make_hybrid_mesh()
+        local_batch_size = distributed.process_local_batch_size(
+            cfg.batch_size * mesh.devices.size)
+    else:
+        mesh = mesh_lib.make_mesh()
+        local_batch_size = cfg.batch_size * mesh.devices.size
     num_devices = mesh.devices.size
     global_batch_size = cfg.batch_size * num_devices  # train.py:61
-    reader_count = cfg.reader_count * num_devices  # train.py:63
-    print(f"devices = {num_devices}, global_batch_size = {global_batch_size}")
+    reader_count = cfg.reader_count * jax.local_device_count()  # train.py:63, per host
+    print(f"devices = {num_devices} over {jax.process_count()} host(s), "
+          f"global_batch_size = {global_batch_size}")
 
     raw = cfg.device_augment
     print("Setting up test image reader")
@@ -143,7 +158,6 @@ def train_model(config: TrainConfig) -> TrainResult:
 
         state = restore_train_state(cfg.resume_checkpoint, state)
         print(f"Resumed training state from {cfg.resume_checkpoint} at step {int(state.step)}")
-    state = mesh_lib.replicate_state(state, mesh)
     if raw:
         from tpuseg.aug.device import DeviceAugmentParams
 
@@ -159,11 +173,15 @@ def train_model(config: TrainConfig) -> TrainResult:
         )
         tstep, estep = mesh_lib.make_parallel_raw_steps(
             model, mesh, cfg.number_classes, dev_params,
-            augment=cfg.use_augmentation, label_smoothing=cfg.label_smoothing)
+            augment=cfg.use_augmentation, label_smoothing=cfg.label_smoothing,
+            shard_optimizer=cfg.shard_optimizer, state=state)
         data_sharding = mesh_lib.raw_batch_sharding(mesh)
     else:
-        tstep, estep = mesh_lib.make_parallel_steps(model, mesh, cfg.label_smoothing)
+        tstep, estep = mesh_lib.make_parallel_steps(
+            model, mesh, cfg.label_smoothing,
+            shard_optimizer=cfg.shard_optimizer, state=state)
         data_sharding = mesh_lib.batch_sharding(mesh)
+    state = mesh_lib.shard_state(state, mesh, shard_optimizer=cfg.shard_optimizer)
 
     checkpoint_path = os.path.join(cfg.output_folder, "checkpoint", "ckpt")
     train_epoch_size = cfg.test_every_n_steps  # train.py:99
@@ -177,7 +195,9 @@ def train_model(config: TrainConfig) -> TrainResult:
         train_reader.startup()
         test_reader.startup()
 
-        train_iter = device_prefetch(train_reader.batches(global_batch_size), data_sharding)
+        # each host stacks only its slice of the global batch (equal to the
+        # global batch on a single host)
+        train_iter = device_prefetch(train_reader.batches(local_batch_size), data_sharding)
 
         epoch = 0
         best_epoch = 0
@@ -216,7 +236,7 @@ def train_model(config: TrainConfig) -> TrainResult:
             # its producer thread stops consuming the shared reader queue
             epoch_test_loss = []
             epoch_test_acc = []
-            test_iter = device_prefetch(test_reader.batches(global_batch_size), data_sharding)
+            test_iter = device_prefetch(test_reader.batches(local_batch_size), data_sharding)
             try:
                 for step in range(int(test_epoch_size) + 1):
                     try:
