@@ -1,21 +1,31 @@
-"""Multi-host (DCN-spanning) initialization.
+"""Multi-host (DCN-spanning) training support.
 
 The reference is single-worker by construction (MirroredStrategy,
-sbatch_train.sh:7 — one node). The TPU-native extension (SURVEY.md §2.3) is
-straightforward: each host in a pod slice calls
-:func:`initialize_distributed`, after which ``jax.devices()`` spans the
-slice and the existing mesh/sharding code works unchanged — GSPMD routes
-gradient psums over ICI within a slice and DCN across slices when the mesh
-is laid out with :func:`make_hybrid_mesh`.
+sbatch_train.sh:7 — one node). The TPU-native extension (SURVEY.md §2.3):
+each host in a pod slice calls :func:`initialize_distributed`, after which
+``jax.devices()`` spans the slice and the existing mesh/sharding code works
+unchanged — GSPMD routes gradient psums over ICI within a slice and DCN
+across slices when the mesh is laid out with :func:`make_hybrid_mesh`.
+
+Wiring (used by tpuseg.train.trainer when ``jax.process_count() > 1``):
+
+- the trainer builds its mesh with :func:`make_hybrid_mesh` so each host's
+  device block is contiguous on the 'data' axis;
+- each host's readers produce only ``global_batch // process_count``
+  samples (:func:`process_local_batch_size`); reader worker counts scale
+  with *local* device count;
+- the prefetcher assembles the global sharded batch from per-host data with
+  :func:`global_batch_from_local` (``jax.make_array_from_process_local_data``)
+  — no host ever materializes the full global batch.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding
 
 
 def initialize_distributed(
@@ -44,9 +54,28 @@ def make_hybrid_mesh(ici_spatial: int = 1) -> Mesh:
     return Mesh(arr, ("data", "spatial"))
 
 
+def process_local_batch_size(global_batch: int) -> int:
+    """How many samples this host's readers must produce per step."""
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by {n} hosts")
+    return global_batch // n
+
+
 def process_local_batch_slice(global_batch: int) -> slice:
-    """Which slice of the global batch this host should feed — reader
-    processes are per-host, so each host loads only its shard."""
-    per_host = global_batch // jax.process_count()
-    start = jax.process_index() * per_host
-    return slice(start, start + per_host)
+    """Which slice of the global batch this host feeds — hosts are laid out
+    contiguously on the 'data' axis by :func:`make_hybrid_mesh`, so host k
+    owns rows [k*per, (k+1)*per)."""
+    per = process_local_batch_size(global_batch)
+    start = jax.process_index() * per
+    return slice(start, start + per)
+
+
+def global_batch_from_local(local: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """Assemble the global sharded batch from this host's slice. Single-host
+    degenerates to a device_put; multi-host uses
+    ``jax.make_array_from_process_local_data`` so only local shards are ever
+    materialized on each host."""
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)

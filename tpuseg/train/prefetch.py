@@ -4,7 +4,10 @@ Replaces the reference's ``tf.data .prefetch() +
 experimental_distribute_dataset`` stage (train.py:85-90): a background
 thread stacks host batches and issues ``jax.device_put`` with the target
 sharding, so the DMA of batch N+1 overlaps the compute of batch N and each
-device receives only its shard.
+device receives only its shard. Under multi-host training the host batch
+is this process's slice of the global batch and the global sharded array
+is assembled via ``jax.make_array_from_process_local_data``
+(tpuseg.parallel.distributed.global_batch_from_local).
 """
 
 from __future__ import annotations
@@ -36,8 +39,10 @@ def device_prefetch(
                 images = np.ascontiguousarray(images)
                 labels = np.ascontiguousarray(labels)
                 if sharding is not None:
-                    images = jax.device_put(images, sharding)
-                    labels = jax.device_put(labels, sharding)
+                    from tpuseg.parallel.distributed import global_batch_from_local
+
+                    images = global_batch_from_local(images, sharding)
+                    labels = global_batch_from_local(labels, sharding)
                 else:
                     images = jax.device_put(images)
                     labels = jax.device_put(labels)
