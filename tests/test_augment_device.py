@@ -136,3 +136,63 @@ def test_raw_train_step_learns():
     assert float(m["loss"]) < first
     ev = estep(state, img_j, msk_j)
     assert np.isfinite(float(ev["loss"]))
+
+
+def test_nonsquare_warp_no_gather_in_jaxpr():
+    """Non-square batches must use the pad-to-square roll warp, never the
+    gather path (gathers are ~18x slower on this backend; VERDICT r1 #8)."""
+    from tpuseg.aug.device import DeviceAugmentParams, augment_and_preprocess_batch
+
+    raw = jnp.zeros((2, 32, 64, 1), jnp.uint16)
+    msk = jnp.zeros((2, 32, 64), jnp.uint8)
+    jaxpr = jax.make_jaxpr(
+        lambda r, i, m: augment_and_preprocess_batch(
+            r, i, m, DeviceAugmentParams(), 2, True)
+    )(jax.random.PRNGKey(0), raw, msk)
+    assert "gather" not in str(jaxpr), "gather op leaked into the non-square warp"
+
+
+def test_nonsquare_warp_matches_host_reference():
+    """Pad-to-square -> shear warp -> crop equals the host (scipy-convention)
+    warp on a non-square tile, for shared transform params (interior)."""
+    from tpuseg.aug.host import apply_affine_transformation
+    from tpuseg.ops.warp import warp_affine_batch
+
+    h, w = 32, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.exp(-(((xx / w - 0.4) ** 2 + (yy / h - 0.55) ** 2) / 0.07)).astype(np.float32)
+
+    for theta_deg, jx, jy, sx, sy in [(20.0, 3, -2, 1.05, 0.95),
+                                      (200.0, -4, 5, 0.92, 1.08)]:
+        host = apply_affine_transformation(img[..., None], theta_deg, False, False,
+                                           jx, jy, sx, sy)
+
+        s_dim = max(h, w)
+        py, px = (s_dim - h) // 2, (s_dim - w) // 2
+        padded = jnp.pad(jnp.asarray(img[None, ..., None]),
+                         ((0, 0), (py, s_dim - h - py), (px, s_dim - w - px), (0, 0)),
+                         mode="reflect")
+        out = np.asarray(warp_affine_batch(
+            padded,
+            theta=jnp.asarray([np.deg2rad(theta_deg)], jnp.float32),
+            tx=jnp.asarray([jx + px * (1.0 - sx)], jnp.float32),
+            ty=jnp.asarray([jy + py * (1.0 - sy)], jnp.float32),
+            sx=jnp.asarray([sx]), sy=jnp.asarray([sy])))[0, py:py + h, px:px + w]
+
+        diff = np.abs(out[8:-8, 8:-8] - host[8:-8, 8:-8])
+        assert np.quantile(diff, 0.99) < 0.06, float(np.quantile(diff, 0.99))
+        assert diff.max() < 0.15, float(diff.max())
+
+
+def test_nonsquare_full_pipeline_runs_and_is_sane():
+    from tpuseg.aug.device import DeviceAugmentParams, augment_and_preprocess_batch
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(100, 4000, (2, 32, 64, 1)).astype(np.uint16)
+    msk = rng.integers(0, 2, (2, 32, 64)).astype(np.uint8)
+    img, lbl = augment_and_preprocess_batch(
+        jax.random.PRNGKey(1), jnp.asarray(raw), jnp.asarray(msk),
+        DeviceAugmentParams(), 2, True)
+    assert img.shape == (2, 32, 64, 1) and lbl.shape == (2, 32, 64, 2)
+    np.testing.assert_allclose(np.asarray(img).mean(axis=(1, 2, 3)), 0.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(lbl).sum(-1), 1.0)
