@@ -64,6 +64,21 @@ def test_tiled_skinny_image(tiny):
     assert pred.shape == (100, 600)
 
 
+def test_tiled_sharded_matches_unsharded(tiny):
+    """Tile-grid data parallelism (SURVEY.md §5.7): sharding the tile batch
+    over the full 8-device mesh returns the identical stitched mask."""
+    from tpuseg.parallel.mesh import make_mesh
+
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    img = np.random.default_rng(3).random((620, 620)).astype(np.float32)
+    base = inference_tiled(img, predict, tile_size=288, radius=96, batch_size=2)
+    mesh = make_mesh(jax.devices(), data=4, spatial=2)  # both axes consumed
+    sharded = inference_tiled(img, predict, tile_size=288, radius=96,
+                              batch_size=1, mesh=mesh)
+    np.testing.assert_array_equal(base, sharded)
+
+
 def test_softmax_fn_contract(tiny):
     model, variables = tiny
     sm = make_softmax_fn(model, variables)

@@ -38,6 +38,9 @@ def main(argv=None):
     parser.add_argument("--dtype", dest="dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"],
                         help="on-device compute dtype (tpuseg extension)")
+    parser.add_argument("--no_data_parallel", dest="data_parallel", action="store_false",
+                        help="disable sharding the tile grid over local devices "
+                             "(tpuseg extension; sharding is on by default)")
     args = parser.parse_args(argv)
 
     inference(InferenceConfig(
@@ -51,6 +54,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         radius=args.radius,
         dtype=args.dtype,
+        data_parallel=args.data_parallel,
     ))
 
 

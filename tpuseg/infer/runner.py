@@ -42,6 +42,9 @@ class InferenceConfig:
     radius: Optional[int] = None  # None -> ERF probe (reference behavior)
     dtype: str = "bfloat16"
     base_features: int = 64
+    # shard the tile grid over all local devices (tiles are independent —
+    # SURVEY.md §5.7); batch_size becomes per-device. No-op on one chip.
+    data_parallel: bool = True
 
 
 def load_model(cfg: InferenceConfig):
@@ -74,6 +77,13 @@ def inference(cfg: InferenceConfig) -> List[str]:
     model, variables = load_model(cfg)
     predict_fn = make_predict_fn(model, variables)
 
+    mesh = None
+    if cfg.data_parallel and jax.device_count() > 1:
+        from tpuseg.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices())
+        print(f"Sharding tile grid over {jax.device_count()} devices")
+
     radius = cfg.radius
     written = []
     print("Starting inference of file list")
@@ -90,7 +100,8 @@ def inference(cfg: InferenceConfig) -> List[str]:
                 radius = estimate_radius(model, variables, cfg.number_channels)
                 print(f'Estimated radius based on ERF : "{radius}"')
             mask = inference_tiled(img, predict_fn, cfg.tile_size, radius,
-                                   cfg.batch_size, num_classes=cfg.number_classes)
+                                   cfg.batch_size, num_classes=cfg.number_classes,
+                                   mesh=mesh)
         else:
             mask = inference_single(img, predict_fn)
 

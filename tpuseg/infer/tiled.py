@@ -86,6 +86,7 @@ def inference_tiled(
     radius: int = RADIUS,
     batch_size: int = 4,
     num_classes: Optional[int] = None,
+    mesh=None,
 ) -> np.ndarray:
     """Large-image path (inference.py:27-136): ZoR grid with ERF halos,
     fixed-shape slide-to-fit windows, batched device execution.
@@ -95,6 +96,13 @@ def inference_tiled(
     inside two jitted programs, and the finished uint8-ranged mask crosses
     back once. (The naive per-tile-roundtrip variant moves ~7x more bytes —
     measured 1.9 MP/s vs this design's one-transfer-each-way.)
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the halo makes tiles fully
+    independent (SURVEY.md §5.7), so the tile batch is embarrassingly
+    parallel: it is sharded over *all* mesh devices and each chip runs
+    ``batch_size`` tiles per chunk (the reference's single-GPU loop,
+    inference.py:61-129, has no multi-device analog). The stitched mask
+    comes back replicated.
     """
     if img.ndim not in (2, 3):
         raise IOError("Invalid number of dimensions for input image. "
@@ -125,7 +133,13 @@ def inference_tiled(
             x_st = min(max(j - radius, 0), full_w - tile_size)
             placements.append((i, j, y_end_z, x_end_z, y_st, x_st))
     n_tiles = len(placements)
-    n_chunks = -(-n_tiles // batch_size)
+    n_dev = 1 if mesh is None else int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    chunk = batch_size * n_dev
+    n_chunks = -(-n_tiles // chunk)
+
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+        tile_sharding = NamedSharding(mesh, PartitionSpec(None, tuple(mesh.axis_names)))
 
     @jax.jit
     def run(padded):
@@ -134,14 +148,21 @@ def inference_tiled(
             for (_, _, _, _, y_st, x_st) in placements
         ])
         # pad the tile count to a whole number of fixed-shape batches and
-        # scan over them so activation memory stays one-batch-sized
-        pad_n = n_chunks * batch_size - n_tiles
-        if pad_n:
-            tiles = jnp.concatenate([tiles, tiles[:pad_n]], axis=0)
-        preds = jax.lax.map(
-            predict_fn,
-            tiles.reshape(n_chunks, batch_size, *tiles.shape[1:]))
-        preds = preds.reshape(n_chunks * batch_size, tile_size, tile_size)
+        # scan over them so activation memory stays one-batch-sized (static
+        # concatenation, never a gather — CLAUDE.md gather rule)
+        pad_n = n_chunks * chunk - n_tiles
+        while pad_n:
+            take = min(pad_n, n_tiles)
+            tiles = jnp.concatenate([tiles, tiles[:take]], axis=0)
+            pad_n -= take
+        tiles = tiles.reshape(n_chunks, chunk, *tiles.shape[1:])
+        if n_dev > 1:
+            # shard the per-chunk tile batch over every mesh device; the
+            # model itself stays replicated, so GSPMD runs batch_size
+            # independent tiles per chip with zero cross-chip traffic
+            tiles = jax.lax.with_sharding_constraint(tiles, tile_sharding)
+        preds = jax.lax.map(predict_fn, tiles)
+        preds = preds.reshape(n_chunks * chunk, tile_size, tile_size)
         mask = jnp.zeros((height, width), preds.dtype)
         for k, (i, j, y_end_z, x_end_z, y_st, x_st) in enumerate(placements):
             crop = preds[k][i - y_st:y_end_z - y_st, j - x_st:x_end_z - x_st]
