@@ -121,6 +121,69 @@ def bench_e2e():
     }))
 
 
+def bench_infer():
+    """Tiled whole-image inference throughput (BASELINE.md geometry: 4096^2
+    uint16, tile 1024, halo 96). Reports device-resident MP/s (the chip
+    number) and end-to-end MP/s including the host->device transfer, which
+    in this environment rides a ~7-15 MB/s tunnel (CLAUDE.md) — shipping the
+    raw uint16 + fusing z-score on device halves those bytes vs the
+    reference's float32 send (inference.py:206)."""
+    import numpy as np
+
+    from tpuseg.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+    import jax.numpy as jnp
+
+    from tpuseg.data.preprocess import zscore_stats
+    from tpuseg.infer.tiled import inference_tiled, make_predict_fn
+    from tpuseg.models.unet import UNet, init_variables
+    import jax
+
+    model = UNet(num_classes=2)
+    variables = init_variables(model, jax.random.PRNGKey(0), num_channels=1,
+                               spatial=(256, 256))
+    predict = make_predict_fn(model, variables)
+
+    img = np.random.default_rng(0).integers(0, 4096, size=(4096, 4096)).astype(np.uint16)
+    stats = zscore_stats(img)
+    mp = img.shape[0] * img.shape[1] / 1e6
+
+    def run(x):
+        return inference_tiled(x, predict, num_classes=2, norm_stats=stats)
+
+    run(img)  # compile
+    # device-resident: jnp.asarray is a no-op on an on-device array and
+    # device_output skips the mask download, so this times pure compute
+    # (tile extract + normalize + forward + argmax + stitch); sync is by
+    # scalar readback (block_until_ready returns early on this backend)
+    dimg = jnp.asarray(img[..., None])
+
+    def run_dev(x):
+        out = inference_tiled(x, predict, num_classes=2, norm_stats=stats,
+                              device_output=True)
+        return int(out[0, 0])
+
+    run_dev(dimg)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        run_dev(dimg)
+    dt_dev = (time.perf_counter() - t0) / 3
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        run(img)
+    dt_e2e = (time.perf_counter() - t0) / 3
+
+    print(json.dumps({
+        "metric": "unet_tiled_inference_4096px",
+        "value": round(mp / dt_dev, 2),
+        "unit": "MP/sec/chip",
+        "vs_baseline": round((mp / dt_dev) / 1.9, 2),  # naive host-stitched loop, BASELINE.md
+        "e2e_MP_per_sec_through_tunnel": round(mp / dt_e2e, 2),
+        "host_to_device_MB": round(img.nbytes / 1e6, 1),
+    }))
+
+
 def main():
     from tpuseg.utils.compile_cache import enable as _enable_cache
     _enable_cache()
@@ -164,4 +227,6 @@ def main():
 if __name__ == "__main__":
     if "--e2e" in sys.argv:
         sys.exit(bench_e2e())
+    if "--infer" in sys.argv:
+        sys.exit(bench_infer())
     sys.exit(main())

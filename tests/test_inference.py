@@ -79,6 +79,52 @@ def test_tiled_sharded_matches_unsharded(tiny):
     np.testing.assert_array_equal(base, sharded)
 
 
+def test_tiled_device_normalization_is_exact(tiny):
+    """Fused on-device z-score (norm_stats path, raw uint16 input) returns
+    the identical mask to host zscore_normalize + float32 transfer."""
+    from tpuseg.data.preprocess import zscore_normalize, zscore_stats
+
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    raw = np.random.default_rng(4).integers(0, 4096, size=(400, 340)).astype(np.uint16)
+    host = inference_tiled(zscore_normalize(raw.astype(np.float32), channels_first=False),
+                           predict, tile_size=288, radius=96, batch_size=2)
+    dev = inference_tiled(raw, predict, tile_size=288, radius=96, batch_size=2,
+                          norm_stats=zscore_stats(raw))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_tiled_device_output(tiny):
+    """device_output=True returns the identical mask as a device array."""
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    img = np.random.default_rng(6).random((300, 340)).astype(np.float32)
+    host = inference_tiled(img, predict, tile_size=288, radius=96, batch_size=2)
+    dev = inference_tiled(img, predict, tile_size=288, radius=96, batch_size=2,
+                          device_output=True)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(host, np.asarray(dev))
+
+
+def test_zscore_stats_matches_normalize():
+    from tpuseg.data.preprocess import zscore_normalize, zscore_stats
+
+    rng = np.random.default_rng(5)
+    for shape in ((37, 53), (37, 53, 3)):
+        x = (rng.random(shape) * 300).astype(np.float32)
+        mean, std = zscore_stats(x)
+        centered = x.astype(np.float32) - mean if x.ndim == 3 else x - mean[0]
+        expect = zscore_normalize(x, channels_first=False)
+        got = np.where(std <= 1.0, centered, centered / std) if x.ndim == 3 \
+            else (centered if std[0] <= 1.0 else centered / std[0])
+        np.testing.assert_array_equal(expect, got)
+    # std<=1 guard: constant-ish channel is only mean-shifted
+    flat = np.full((16, 16), 7.25, np.float32)
+    mean, std = zscore_stats(flat)
+    assert std[0] <= 1.0
+    np.testing.assert_array_equal(zscore_normalize(flat), flat - mean[0])
+
+
 def test_softmax_fn_contract(tiny):
     model, variables = tiny
     sm = make_softmax_fn(model, variables)

@@ -1,0 +1,77 @@
+"""Folder-level inference runner tests (reference inference.py:176-227):
+checkpoint restore -> read-ahead -> single/tiled dispatch -> dtype-minimized
+mask save, including the sharded tile grid and error propagation."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuseg.infer.runner import InferenceConfig, _read_ahead, inference
+from tpuseg.models.unet import UNet
+from tpuseg.train.steps import create_train_state
+from tpuseg.utils.checkpoint import save_checkpoint
+from tpuseg.utils.imagio import imread, imwrite
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    model = UNet(num_classes=2, base_features=2, dtype=jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), num_channels=1,
+                               learning_rate=1e-4)
+    path = str(tmp_path_factory.mktemp("ck") / "checkpoint")
+    save_checkpoint(path, state)
+    return path
+
+
+def _write_corpus(folder):
+    os.makedirs(folder, exist_ok=True)
+    rng = np.random.default_rng(0)
+    imwrite(os.path.join(folder, "small.tif"),
+            rng.integers(0, 4096, size=(96, 80)).astype(np.uint16))
+    imwrite(os.path.join(folder, "big.tif"),
+            rng.integers(0, 4096, size=(400, 330)).astype(np.uint16))
+
+
+def test_inference_runner_both_branches(ckpt, tmp_path):
+    """One sub-tile image (single-shot branch) and one above-tile image
+    (tiled branch with fused device z-score) through the full runner."""
+    imgdir = str(tmp_path / "imgs")
+    _write_corpus(imgdir)
+    outdir = str(tmp_path / "out")
+    cfg = InferenceConfig(
+        checkpoint_filepath=ckpt, image_folder=imgdir, output_folder=outdir,
+        number_classes=2, number_channels=1, tile_size=288, radius=96,
+        batch_size=2, dtype="float32", base_features=2)
+    written = inference(cfg)
+    assert sorted(os.path.basename(p) for p in written) == ["big.tif", "small.tif"]
+    for p, shape in zip(sorted(written), [(400, 330), (96, 80)]):
+        mask = imread(p)
+        assert mask.shape == shape
+        assert mask.dtype == np.uint8  # 2 classes fit a byte (inference.py:215-220)
+        assert set(np.unique(mask)) <= {0, 1}
+
+
+def test_read_ahead_preserves_order_and_stats(tmp_path):
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    paths = []
+    for i in range(4):
+        p = os.path.join(imgdir, f"im{i}.tif")
+        imwrite(p, np.full((20, 20), i * 100, np.uint16))
+        paths.append(p)
+    got = list(_read_ahead(paths, depth=2))
+    assert [g[0] for g in got] == paths
+    for i, (_, img, (mean, std)) in enumerate(got):
+        assert img[0, 0] == i * 100
+        assert mean[0] == pytest.approx(i * 100.0)
+        assert std[0] == 0.0
+
+
+def test_read_ahead_propagates_errors(tmp_path):
+    bad = str(tmp_path / "missing.tif")
+    it = _read_ahead([bad])
+    with pytest.raises(Exception):
+        next(it)

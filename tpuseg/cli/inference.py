@@ -30,8 +30,9 @@ def main(argv=None):
     # --- tpuseg extensions ---
     parser.add_argument("--tile_size", dest="tile_size", type=int, default=1024,
                         help="tile size for large-image tiling (tpuseg extension)")
-    parser.add_argument("--batch_size", dest="batch_size", type=int, default=4,
-                        help="tiles per device batch (tpuseg extension)")
+    parser.add_argument("--batch_size", dest="batch_size", type=int, default=8,
+                        help="tiles per device batch; multiples of 8 keep sublane "
+                             "alignment (tpuseg extension)")
     parser.add_argument("--radius", dest="radius", type=int, default=None,
                         help="halo radius override; default measures the ERF "
                              "(tpuseg extension)")

@@ -40,6 +40,25 @@ def zscore_normalize(image_data: np.ndarray, channels_first: bool = True) -> np.
     return image_data
 
 
+def zscore_stats(image_data: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-channel (mean, std) of an HW or HWC image, computed with exactly
+    the reductions :func:`zscore_normalize` (channels_first=False) uses, so
+    that ``(x - mean) / std`` with the std<=1 mean-shift-only guard applied
+    elsewhere (e.g. fused on device) reproduces it bit-for-bit in float32.
+    """
+    x = image_data.astype(np.float32)
+    if x.ndim == 2:
+        return (np.asarray([np.mean(x)], np.float32),
+                np.asarray([np.std(x)], np.float32))
+    if x.ndim != 3:
+        raise IOError(
+            "Input to Z-Score normalization needs to be either a 2D or 3D image [HW, or CHW]")
+    x = x.transpose((2, 0, 1))
+    mean = np.asarray([np.mean(x[c]) for c in range(x.shape[0])], np.float32)
+    std = np.asarray([np.std(x[c]) for c in range(x.shape[0])], np.float32)
+    return mean, std
+
+
 def one_hot_labels(mask: np.ndarray, num_classes: int) -> np.ndarray:
     """HW int mask -> HWC one-hot int32 (imagereader.py:302-312); raises on
     out-of-range labels with the reference's class-mismatch message."""

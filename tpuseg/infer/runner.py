@@ -7,6 +7,8 @@ dtype-minimize, save.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -14,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuseg.data.preprocess import zscore_normalize
+from tpuseg.data.preprocess import zscore_normalize, zscore_stats
 from tpuseg.infer.erf import estimate_radius
 from tpuseg.infer.tiled import (
     TILE_SIZE,
@@ -38,7 +40,7 @@ class InferenceConfig:
     number_channels: int
     image_format: str = "tif"
     tile_size: int = TILE_SIZE
-    batch_size: int = 4
+    batch_size: int = 8  # per-device tiles; multiples of 8 keep sublane alignment
     radius: Optional[int] = None  # None -> ERF probe (reference behavior)
     dtype: str = "bfloat16"
     base_features: int = 64
@@ -54,6 +56,35 @@ def load_model(cfg: InferenceConfig):
     template = create_train_state(model, jax.random.PRNGKey(0), cfg.number_channels, 1e-4)
     variables = restore_model_variables(cfg.checkpoint_filepath, template)
     return model, variables
+
+
+def _read_ahead(paths: List[str], depth: int = 1):
+    """Yield ``(path, image, zscore_stats)`` with the disk read + whole-image
+    statistics of the *next* image overlapped with the caller's device work.
+    The reference reads synchronously inside its loop (inference.py:195-206);
+    one background thread with a bounded slot hides that latency without
+    reordering or batching semantics."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _end = object()
+
+    def worker():
+        try:
+            for p in paths:
+                img = imread(p)
+                q.put((p, img, zscore_stats(img)))
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+            return
+        q.put(_end)
+
+    threading.Thread(target=worker, daemon=True, name="tpuseg-infer-read").start()
+    while True:
+        item = q.get()
+        if item is _end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def inference(cfg: InferenceConfig) -> List[str]:
@@ -87,23 +118,25 @@ def inference(cfg: InferenceConfig) -> List[str]:
     radius = cfg.radius
     written = []
     print("Starting inference of file list")
-    for i, img_filepath in enumerate(img_filepath_list):
+    for i, (img_filepath, img, stats) in enumerate(_read_ahead(img_filepath_list)):
         _, slide_name = os.path.split(img_filepath)
         print(f"{i}/{len(img_filepath_list)} : {slide_name}")
-
-        img = imread(img_filepath).astype(np.float32)
-        img = zscore_normalize(img, channels_first=False)
         print(f"  img.shape={img.shape}")
 
         if img.shape[0] > cfg.tile_size or img.shape[1] > cfg.tile_size:
             if radius is None:
                 radius = estimate_radius(model, variables, cfg.number_channels)
                 print(f'Estimated radius based on ERF : "{radius}"')
+            # z-score fuses into the device program: the (often uint16)
+            # image ships in its native dtype — half the transfer bytes of
+            # the host-normalized float32 the reference sends (inference.py:206)
             mask = inference_tiled(img, predict_fn, cfg.tile_size, radius,
                                    cfg.batch_size, num_classes=cfg.number_classes,
-                                   mesh=mesh)
+                                   mesh=mesh, norm_stats=stats)
         else:
-            mask = inference_single(img, predict_fn)
+            mask = inference_single(
+                zscore_normalize(img.astype(np.float32), channels_first=False),
+                predict_fn)
 
         mask = minimize_dtype(mask)
         out_path = os.path.join(cfg.output_folder, slide_name)

@@ -20,6 +20,7 @@ otherwise identical to inference.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -79,48 +80,18 @@ def inference_single(img: np.ndarray, predict_fn) -> np.ndarray:
     return pred
 
 
-def inference_tiled(
-    img: np.ndarray,
-    predict_fn,
-    tile_size: int = TILE_SIZE,
-    radius: int = RADIUS,
-    batch_size: int = 4,
-    num_classes: Optional[int] = None,
-    mesh=None,
-) -> np.ndarray:
-    """Large-image path (inference.py:27-136): ZoR grid with ERF halos,
-    fixed-shape slide-to-fit windows, batched device execution.
-
-    Everything stays on device: the image crosses host->device once, tile
-    extraction / forward / argmax / zone-of-responsibility stitching run
-    inside two jitted programs, and the finished uint8-ranged mask crosses
-    back once. (The naive per-tile-roundtrip variant moves ~7x more bytes —
-    measured 1.9 MP/s vs this design's one-transfer-each-way.)
-
-    ``mesh``: optional ``jax.sharding.Mesh`` — the halo makes tiles fully
-    independent (SURVEY.md §5.7), so the tile batch is embarrassingly
-    parallel: it is sharded over *all* mesh devices and each chip runs
-    ``batch_size`` tiles per chunk (the reference's single-GPU loop,
-    inference.py:61-129, has no multi-device analog). The stitched mask
-    comes back replicated.
+@functools.lru_cache(maxsize=64)
+def _tiled_program(predict_fn, tile_size: int, radius: int, batch_size: int,
+                   height: int, width: int, full_h: int, full_w: int,
+                   mesh, normalize: bool, shrink_u8: bool):
+    """Build (and cache) the jitted tile/forward/stitch program for one
+    geometry. Caching is what makes folder inference pay trace+compile once
+    per image *shape* rather than once per image — re-tracing this program
+    costs seconds, comparable to the compute itself. ``norm_stats`` enter
+    the cached variant as runtime arguments so every image shares the same
+    compiled program.
     """
-    if img.ndim not in (2, 3):
-        raise IOError("Invalid number of dimensions for input image. "
-                      "Expecting HW or HWC dimension ordering.")
-    img, pad_y, pad_x = _pad_to_multiple(img)
-    height, width = img.shape[0], img.shape[1]
-
-    assert tile_size % SIZE_FACTOR == 0
-    assert radius % SIZE_FACTOR == 0
     zor = tile_size - 2 * radius  # zone of responsibility, inference.py:58
-    assert zor >= radius, "tile size too small for the receptive-field halo"
-
-    # guarantee full-size windows exist: reflect-pad skinny dims up to tile
-    extra_y = max(0, tile_size - height)
-    extra_x = max(0, tile_size - width)
-    if extra_y or extra_x:
-        img = np.pad(img, ((0, extra_y), (0, extra_x), (0, 0)), mode="reflect")
-    full_h, full_w = img.shape[0], img.shape[1]
 
     # window + zone geometry: all compile-time Python ints, so the entire
     # tile/forward/stitch pipeline below is static slices — nothing dynamic
@@ -141,8 +112,10 @@ def inference_tiled(
         from jax.sharding import NamedSharding, PartitionSpec
         tile_sharding = NamedSharding(mesh, PartitionSpec(None, tuple(mesh.axis_names)))
 
-    @jax.jit
-    def run(padded):
+    def run_impl(padded, mean=None, std=None):
+        if normalize:
+            centered = padded.astype(jnp.float32) - mean
+            padded = jnp.where(std <= 1.0, centered, centered / std)
         tiles = jnp.stack([
             padded[y_st:y_st + tile_size, x_st:x_st + tile_size]
             for (_, _, _, _, y_st, x_st) in placements
@@ -168,12 +141,92 @@ def inference_tiled(
             crop = preds[k][i - y_st:y_end_z - y_st, j - x_st:x_end_z - x_st]
             mask = jax.lax.dynamic_update_slice(mask, crop, (i, j))
         # when class ids provably fit a byte, shrink the device->host transfer
-        if num_classes is not None and num_classes <= 256:
+        if shrink_u8:
             mask = mask.astype(jnp.uint8)
         return mask
 
-    mask = np.asarray(run(jnp.asarray(img, jnp.float32))).astype(np.int32)
+    if normalize:
+        return jax.jit(run_impl)
+    return jax.jit(lambda padded: run_impl(padded))
 
+
+def inference_tiled(
+    img: np.ndarray,
+    predict_fn,
+    tile_size: int = TILE_SIZE,
+    radius: int = RADIUS,
+    batch_size: int = 8,
+    num_classes: Optional[int] = None,
+    mesh=None,
+    norm_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    device_output: bool = False,
+) -> np.ndarray:
+    """Large-image path (inference.py:27-136): ZoR grid with ERF halos,
+    fixed-shape slide-to-fit windows, batched device execution.
+
+    Everything stays on device: the image crosses host->device once, tile
+    extraction / forward / argmax / zone-of-responsibility stitching run
+    inside two jitted programs, and the finished uint8-ranged mask crosses
+    back once. (The naive per-tile-roundtrip variant moves ~7x more bytes —
+    measured 1.9 MP/s vs this design's one-transfer-each-way.)
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the halo makes tiles fully
+    independent (SURVEY.md §5.7), so the tile batch is embarrassingly
+    parallel: it is sharded over *all* mesh devices and each chip runs
+    ``batch_size`` tiles per chunk (the reference's single-GPU loop,
+    inference.py:61-129, has no multi-device analog). The stitched mask
+    comes back replicated.
+
+    ``batch_size`` defaults to 8: per-chip batches that aren't multiples of
+    8 lose sublane alignment and run ~40% slower per tile (measured, see
+    BASELINE.md).
+
+    ``norm_stats``: optional per-channel ``(mean, std)`` from
+    :func:`tpuseg.data.preprocess.zscore_stats`. When given, ``img`` is
+    shipped to the device in its native dtype and the z-score normalization
+    (imagereader.py:33-66 semantics, incl. the std<=1 mean-shift-only
+    guard) is fused into the tiled program — halving the host->device bytes
+    for the uint16 imagery this pipeline targets, with float32-identical
+    results (normalize is pointwise, so it commutes with reflect padding).
+
+    ``device_output``: return the stitched mask as a device array (pads
+    cropped) instead of host numpy — for pipelines that keep post-processing
+    (metrics, encoding) on device and skip the device->host transfer.
+    """
+    if img.ndim not in (2, 3):
+        raise IOError("Invalid number of dimensions for input image. "
+                      "Expecting HW or HWC dimension ordering.")
+    img, pad_y, pad_x = _pad_to_multiple(img)
+    height, width = img.shape[0], img.shape[1]
+
+    assert tile_size % SIZE_FACTOR == 0
+    assert radius % SIZE_FACTOR == 0
+    zor = tile_size - 2 * radius  # zone of responsibility, inference.py:58
+    assert zor >= radius, "tile size too small for the receptive-field halo"
+
+    # guarantee full-size windows exist: reflect-pad skinny dims up to tile
+    extra_y = max(0, tile_size - height)
+    extra_x = max(0, tile_size - width)
+    if extra_y or extra_x:
+        img = np.pad(img, ((0, extra_y), (0, extra_x), (0, 0)), mode="reflect")
+    full_h, full_w = img.shape[0], img.shape[1]
+
+    run = _tiled_program(predict_fn, tile_size, radius, batch_size,
+                         height, width, full_h, full_w, mesh,
+                         norm_stats is not None,
+                         num_classes is not None and num_classes <= 256)
+
+    if norm_stats is not None:
+        dev_img = jnp.asarray(img)
+        mask = run(dev_img, jnp.asarray(norm_stats[0], jnp.float32),
+                   jnp.asarray(norm_stats[1], jnp.float32))
+    else:
+        mask = run(jnp.asarray(img, jnp.float32))
+
+    if device_output:
+        return mask[:mask.shape[0] - pad_y, :mask.shape[1] - pad_x]
+
+    mask = np.asarray(mask).astype(np.int32)
     if pad_x > 0:
         mask = mask[:, :-pad_x]
     if pad_y > 0:
