@@ -94,6 +94,23 @@ def test_tiled_device_normalization_is_exact(tiny):
     np.testing.assert_array_equal(host, dev)
 
 
+def test_single_batch_matches_per_image(tiny):
+    """Batched same-shape small images (fused device z-score) reproduce the
+    host-normalized one-at-a-time path exactly, including tail padding."""
+    from tpuseg.data.preprocess import zscore_normalize
+    from tpuseg.infer.tiled import inference_single_batch
+
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 4096, size=(50, 70)).astype(np.uint16) for _ in range(5)]
+    batched = inference_single_batch(imgs, predict, batch_size=2)  # 2 full + tail
+    for im, got in zip(imgs, batched):
+        want = inference_single(
+            zscore_normalize(im.astype(np.float32), channels_first=False), predict)
+        np.testing.assert_array_equal(want, got)
+
+
 def test_tiled_device_output(tiny):
     """device_output=True returns the identical mask as a device array."""
     model, variables = tiny

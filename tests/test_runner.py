@@ -54,6 +54,28 @@ def test_inference_runner_both_branches(ckpt, tmp_path):
         assert set(np.unique(mask)) <= {0, 1}
 
 
+def test_inference_runner_batches_mixed_small_shapes(ckpt, tmp_path):
+    """A folder mixing two small shapes and a big image: small ones batch
+    per shape group, output order and per-file shapes are preserved."""
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    rng = np.random.default_rng(1)
+    shapes = {"a.tif": (64, 64), "b.tif": (64, 64), "c.tif": (96, 80),
+              "d.tif": (400, 330), "e.tif": (64, 64)}
+    for name, shape in shapes.items():
+        imwrite(os.path.join(imgdir, name),
+                rng.integers(0, 4096, size=shape).astype(np.uint16))
+    outdir = str(tmp_path / "out")
+    cfg = InferenceConfig(
+        checkpoint_filepath=ckpt, image_folder=imgdir, output_folder=outdir,
+        number_classes=2, number_channels=1, tile_size=288, radius=96,
+        batch_size=2, dtype="float32", base_features=2)
+    written = inference(cfg)
+    assert [os.path.basename(p) for p in written] == sorted(shapes)
+    for p in written:
+        assert imread(p).shape == shapes[os.path.basename(p)]
+
+
 def test_read_ahead_preserves_order_and_stats(tmp_path):
     imgdir = str(tmp_path / "imgs")
     os.makedirs(imgdir)

@@ -14,13 +14,12 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from tpuseg.data.preprocess import zscore_normalize, zscore_stats
+from tpuseg.data.preprocess import zscore_stats
 from tpuseg.infer.erf import estimate_radius
 from tpuseg.infer.tiled import (
     TILE_SIZE,
-    inference_single,
+    inference_single_batch,
     inference_tiled,
     make_predict_fn,
     minimize_dtype,
@@ -117,6 +116,23 @@ def inference(cfg: InferenceConfig) -> List[str]:
 
     radius = cfg.radius
     written = []
+    small_buf = []  # same-shape sub-tile images batched through one forward
+
+    def _save(mask, img_filepath):
+        _, slide_name = os.path.split(img_filepath)
+        out_path = os.path.join(cfg.output_folder, slide_name)
+        imwrite(out_path, minimize_dtype(mask))
+        written.append(out_path)
+
+    def _flush_small():
+        if not small_buf:
+            return
+        masks = inference_single_batch([im for _, im in small_buf], predict_fn,
+                                       cfg.batch_size)
+        for (p, _), mask in zip(small_buf, masks):
+            _save(mask, p)
+        small_buf.clear()
+
     print("Starting inference of file list")
     for i, (img_filepath, img, stats) in enumerate(_read_ahead(img_filepath_list)):
         _, slide_name = os.path.split(img_filepath)
@@ -124,6 +140,7 @@ def inference(cfg: InferenceConfig) -> List[str]:
         print(f"  img.shape={img.shape}")
 
         if img.shape[0] > cfg.tile_size or img.shape[1] > cfg.tile_size:
+            _flush_small()
             if radius is None:
                 radius = estimate_radius(model, variables, cfg.number_channels)
                 print(f'Estimated radius based on ERF : "{radius}"')
@@ -133,13 +150,15 @@ def inference(cfg: InferenceConfig) -> List[str]:
             mask = inference_tiled(img, predict_fn, cfg.tile_size, radius,
                                    cfg.batch_size, num_classes=cfg.number_classes,
                                    mesh=mesh, norm_stats=stats)
+            _save(mask, img_filepath)
         else:
-            mask = inference_single(
-                zscore_normalize(img.astype(np.float32), channels_first=False),
-                predict_fn)
-
-        mask = minimize_dtype(mask)
-        out_path = os.path.join(cfg.output_folder, slide_name)
-        imwrite(out_path, mask)
-        written.append(out_path)
+            # batch sub-tile images (the reference runs them one forward per
+            # image, inference.py:210-213 — batch 1 leaves the chip idle);
+            # flush preserves the folder's file order
+            if small_buf and small_buf[-1][1].shape != img.shape:
+                _flush_small()
+            small_buf.append((img_filepath, img))
+            if len(small_buf) == cfg.batch_size:
+                _flush_small()
+    _flush_small()
     return written

@@ -81,6 +81,61 @@ def inference_single(img: np.ndarray, predict_fn) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
+def _single_batch_program(predict_fn, batch: int):
+    """Jitted fixed-batch forward for same-shape small images with fused
+    per-image z-score (stats enter as runtime (batch, C) arrays)."""
+
+    def run(stack, mean, std):
+        x = stack.astype(jnp.float32) - mean[:, None, None, :]
+        x = jnp.where((std <= 1.0)[:, None, None, :], x, x / std[:, None, None, :])
+        return predict_fn(x)
+
+    return jax.jit(run)
+
+
+def inference_single_batch(imgs: "List[np.ndarray]", predict_fn,
+                           batch_size: int = 8) -> "List[np.ndarray]":
+    """Batched small-image path: the reference (and round-1 tpuseg) runs
+    sub-tile images one forward per image (inference.py:210-213) — batch 1
+    leaves the chip mostly idle. Same-shape images run ``batch_size`` at a
+    time through one cached program (short groups pad by repeating the last
+    image), with z-score fused on device so raw uint bytes ship.
+
+    All images must share one shape; per-image normalization statistics are
+    computed here with reference semantics (imagereader.py:33-66).
+    """
+    from tpuseg.data.preprocess import zscore_stats
+
+    if not imgs:
+        return []
+    stats = [zscore_stats(im) for im in imgs]
+    padded = [_pad_to_multiple(im) for im in imgs]
+    pad_y, pad_x = padded[0][1], padded[0][2]
+    arr = [p[0] for p in padded]
+    run = _single_batch_program(predict_fn, batch_size)
+
+    preds: List[np.ndarray] = []
+    for s in range(0, len(arr), batch_size):
+        group = arr[s:s + batch_size]
+        gstats = stats[s:s + batch_size]
+        k = len(group)
+        while len(group) < batch_size:  # static-shape tail padding
+            group.append(group[-1])
+            gstats.append(gstats[-1])
+        mean = np.stack([m for m, _ in gstats]).astype(np.float32)
+        std = np.stack([sd for _, sd in gstats]).astype(np.float32)
+        out = np.asarray(run(jnp.asarray(np.stack(group)), jnp.asarray(mean),
+                             jnp.asarray(std)))
+        preds.extend(out[:k])
+
+    if pad_x > 0:
+        preds = [p[:, :-pad_x] for p in preds]
+    if pad_y > 0:
+        preds = [p[:-pad_y, :] for p in preds]
+    return [np.asarray(p) for p in preds]
+
+
+@functools.lru_cache(maxsize=64)
 def _tiled_program(predict_fn, tile_size: int, radius: int, batch_size: int,
                    height: int, width: int, full_h: int, full_w: int,
                    mesh, normalize: bool, shrink_u8: bool):
