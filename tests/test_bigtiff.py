@@ -57,6 +57,59 @@ def test_imwrite_tif_produces_tiled_bigtiff(tmp_path):
     np.testing.assert_array_equal(imread(fp), mask)
 
 
+def test_region_reader_matches_whole_read(tmp_path):
+    """Random regions assembled from only the overlapping tiles equal the
+    whole-array read (LRU exercised by a tiny cache)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 65535, size=(330, 410)).astype(np.uint16)
+    fp = str(tmp_path / "r.tif")
+    bigtiff.write_bigtiff(fp, img, tile=(64, 64))
+    with bigtiff.BigTiffReader(fp, tile_cache=3) as r:
+        assert r.shape == img.shape and r.dtype == img.dtype
+        for _ in range(20):
+            h = int(rng.integers(1, 200))
+            w = int(rng.integers(1, 200))
+            y = int(rng.integers(0, img.shape[0] - h))
+            x = int(rng.integers(0, img.shape[1] - w))
+            np.testing.assert_array_equal(
+                r.read_region(y, x, h, w)[..., 0], img[y:y + h, x:x + w])
+        with pytest.raises(ValueError, match="outside image"):
+            r.read_region(300, 400, 64, 64)
+
+
+def test_streaming_stats_match_reference_formula(tmp_path):
+    from tpuseg.data.preprocess import zscore_stats
+
+    rng = np.random.default_rng(6)
+    img = (rng.random((200, 150)) * 4000).astype(np.uint16)
+    fp = str(tmp_path / "s.tif")
+    bigtiff.write_bigtiff(fp, img, tile=(64, 64))
+    with bigtiff.BigTiffReader(fp) as r:
+        mean, std = r.streaming_zscore_stats()
+    want_mean, want_std = zscore_stats(img)
+    np.testing.assert_allclose(mean, want_mean, rtol=1e-6)
+    np.testing.assert_allclose(std, want_std, rtol=1e-6)
+
+
+def test_incremental_writer_roundtrip_and_guards(tmp_path):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, size=(150, 130)).astype(np.uint8)
+    fp = str(tmp_path / "inc.tif")
+    with bigtiff.BigTiffTileWriter(fp, img.shape, img.dtype, tile=(64, 64)) as w:
+        for ty in range(w.tiles_down):
+            for tx in range(w.tiles_across):
+                w.put_tile(img[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64])
+        with pytest.raises(ValueError, match="all tiles already written"):
+            w.put_tile(img[:64, :64])
+    np.testing.assert_array_equal(bigtiff.read_bigtiff(fp), img)
+
+    w2 = bigtiff.BigTiffTileWriter(str(tmp_path / "short.tif"), img.shape,
+                                   img.dtype, tile=(64, 64))
+    w2.put_tile(img[:64, :64])
+    with pytest.raises(ValueError, match="of 9 tiles before close"):
+        w2.close()
+
+
 def test_third_party_reader_can_open_ours(tmp_path):
     """Cross-validate the format against an independent TIFF stack (cv2's
     libtiff) when available — guards against private-dialect files."""

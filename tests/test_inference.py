@@ -149,6 +149,61 @@ def test_softmax_fn_contract(tiny):
     np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
 
 
+def test_streaming_matches_in_ram_tiled(tiny, tmp_path):
+    """Window-streamed whole-slide inference (BigTIFF in, incremental
+    BigTIFF out) equals the in-RAM tiled engine exactly when given the same
+    normalization statistics."""
+    from tpuseg.data.preprocess import zscore_stats
+    from tpuseg.infer.tiled import inference_tiled_streaming
+    from tpuseg.utils import bigtiff
+
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 4096, size=(640, 480)).astype(np.uint16)  # x16 dims
+    stats = zscore_stats(img)
+
+    in_ram = inference_tiled(img, predict, tile_size=288, radius=96,
+                             batch_size=2, num_classes=3, norm_stats=stats)
+
+    src = str(tmp_path / "slide.tif")
+    bigtiff.write_bigtiff(src, img, tile=(128, 128))
+    out = str(tmp_path / "mask.tif")
+    with bigtiff.BigTiffReader(src) as reader:
+        inference_tiled_streaming(reader, predict, out, tile_size=288,
+                                  radius=96, batch_size=2, num_classes=3,
+                                  norm_stats=stats, progress=False)
+    streamed = bigtiff.read_bigtiff(out)
+    assert streamed.dtype == np.uint8
+    np.testing.assert_array_equal(in_ram.astype(np.uint8), streamed)
+
+
+def test_streaming_default_stats_close_to_host(tiny, tmp_path):
+    """With its own single-pass float64 statistics the streamed mask still
+    agrees with the in-RAM engine away from decision boundaries."""
+    from tpuseg.infer.tiled import inference_tiled_streaming
+    from tpuseg.utils import bigtiff
+
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 4096, size=(320, 320)).astype(np.uint16)
+    from tpuseg.data.preprocess import zscore_stats
+    in_ram = inference_tiled(img, predict, tile_size=288, radius=96,
+                             batch_size=2, num_classes=3,
+                             norm_stats=zscore_stats(img))
+    src = str(tmp_path / "slide.tif")
+    bigtiff.write_bigtiff(src, img, tile=(128, 128))
+    out = str(tmp_path / "mask.tif")
+    with bigtiff.BigTiffReader(src) as reader:
+        inference_tiled_streaming(reader, predict, out, tile_size=288,
+                                  radius=96, batch_size=2, num_classes=3,
+                                  progress=False)
+    streamed = bigtiff.read_bigtiff(out)
+    agree = (streamed == in_ram).mean()
+    assert agree > 0.999, f"streamed/in-RAM agreement {agree}"
+
+
 def test_minimize_dtype():
     assert minimize_dtype(np.array([[1, 255]])).dtype == np.uint8
     assert minimize_dtype(np.array([[1, 256]])).dtype == np.uint16

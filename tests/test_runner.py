@@ -76,6 +76,30 @@ def test_inference_runner_batches_mixed_small_shapes(ckpt, tmp_path):
         assert imread(p).shape == shapes[os.path.basename(p)]
 
 
+def test_inference_runner_streaming_mode(ckpt, tmp_path):
+    """--streaming: tiled-BigTIFF slide in, incrementally written BigTIFF
+    mask out, through the full runner surface."""
+    from tpuseg.utils import bigtiff
+
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 4096, size=(400, 330)).astype(np.uint16)
+    bigtiff.write_bigtiff(os.path.join(imgdir, "slide.tif"), img, tile=(128, 128))
+    outdir = str(tmp_path / "out")
+    os.makedirs(outdir)
+    cfg = InferenceConfig(
+        checkpoint_filepath=ckpt, image_folder=imgdir, output_folder=outdir,
+        number_classes=2, number_channels=1, tile_size=288, radius=96,
+        batch_size=2, dtype="float32", base_features=2, streaming=True)
+    written = inference(cfg)
+    assert len(written) == 1
+    mask = bigtiff.read_bigtiff(written[0])
+    assert mask.shape == (400, 330)
+    assert mask.dtype == np.uint8
+    assert set(np.unique(mask)) <= {0, 1}
+
+
 def test_read_ahead_preserves_order_and_stats(tmp_path):
     imgdir = str(tmp_path / "imgs")
     os.makedirs(imgdir)

@@ -42,6 +42,10 @@ def main(argv=None):
     parser.add_argument("--no_data_parallel", dest="data_parallel", action="store_false",
                         help="disable sharding the tile grid over local devices "
                              "(tpuseg extension; sharding is on by default)")
+    parser.add_argument("--streaming", dest="streaming", action="store_true",
+                        help="stream tiled-BigTIFF inputs window-by-window and "
+                             "write masks incrementally — segments whole-slide "
+                             "images larger than host RAM (tpuseg extension)")
     args = parser.parse_args(argv)
 
     inference(InferenceConfig(
@@ -56,6 +60,7 @@ def main(argv=None):
         radius=args.radius,
         dtype=args.dtype,
         data_parallel=args.data_parallel,
+        streaming=args.streaming,
     ))
 
 

@@ -46,6 +46,9 @@ class InferenceConfig:
     # shard the tile grid over all local devices (tiles are independent —
     # SURVEY.md §5.7); batch_size becomes per-device. No-op on one chip.
     data_parallel: bool = True
+    # stream tiled-BigTIFF inputs window-by-window (images larger than host
+    # RAM); masks are written incrementally as tiled BigTIFF
+    streaming: bool = False
 
 
 def load_model(cfg: InferenceConfig):
@@ -55,6 +58,35 @@ def load_model(cfg: InferenceConfig):
     template = create_train_state(model, jax.random.PRNGKey(0), cfg.number_channels, 1e-4)
     variables = restore_model_variables(cfg.checkpoint_filepath, template)
     return model, variables
+
+
+def _inference_streaming(cfg: InferenceConfig, model, variables, predict_fn,
+                         img_filepath_list: List[str]) -> List[str]:
+    """Whole-slide streaming mode: every input must be a tiled BigTIFF; halo
+    windows stream through the device and the mask is written incrementally,
+    so images larger than host RAM segment end to end (the workload the
+    reference's BigTIFF output exists for but its whole-image load at
+    inference.py:201 cannot start)."""
+    from tpuseg.infer.tiled import inference_tiled_streaming
+    from tpuseg.utils.bigtiff import BigTiffReader
+
+    radius = cfg.radius
+    written = []
+    print("Starting streaming inference of file list")
+    for i, img_filepath in enumerate(img_filepath_list):
+        _, slide_name = os.path.split(img_filepath)
+        print(f"{i}/{len(img_filepath_list)} : {slide_name}")
+        with BigTiffReader(img_filepath) as reader:
+            print(f"  img.shape={reader.shape}")
+            if radius is None:
+                radius = estimate_radius(model, variables, cfg.number_channels)
+                print(f'Estimated radius based on ERF : "{radius}"')
+            out_path = os.path.join(cfg.output_folder, slide_name)
+            inference_tiled_streaming(
+                reader, predict_fn, out_path, cfg.tile_size, radius,
+                cfg.batch_size, num_classes=cfg.number_classes)
+        written.append(out_path)
+    return written
 
 
 def _read_ahead(paths: List[str], depth: int = 1):
@@ -113,6 +145,10 @@ def inference(cfg: InferenceConfig) -> List[str]:
 
         mesh = make_mesh(jax.devices())
         print(f"Sharding tile grid over {jax.device_count()} devices")
+
+    if cfg.streaming:
+        return _inference_streaming(cfg, model, variables, predict_fn,
+                                    img_filepath_list)
 
     radius = cfg.radius
     written = []

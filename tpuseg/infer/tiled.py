@@ -21,7 +21,7 @@ otherwise identical to inference.py.
 from __future__ import annotations
 
 import functools
-from typing import Callable, List, Optional, Tuple
+from typing import Any, Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -296,6 +296,100 @@ def inference_tiled(
     if pad_y > 0:
         mask = mask[0:-pad_y, :]
     return mask
+
+
+def inference_tiled_streaming(
+    reader,
+    predict_fn,
+    out_path: str,
+    tile_size: int = TILE_SIZE,
+    radius: int = RADIUS,
+    batch_size: int = 8,
+    num_classes: Optional[int] = None,
+    norm_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    compression_level: int = 6,
+    progress: bool = True,
+) -> str:
+    """Whole-slide inference for images **larger than host RAM** — a
+    capability the reference does not have (inference.py:201 loads the whole
+    image; its BigTIFF output path, inference.py:221-222, exists precisely
+    for masks this large).
+
+    Streams the same ZoR/halo geometry as :func:`inference_tiled`:
+    halo windows are read region-by-region from a tiled BigTIFF
+    (:class:`tpuseg.utils.bigtiff.BigTiffReader` decodes only overlapping
+    tiles, LRU-cached across the row-major sweep), batched through the
+    cached fixed-shape forward with fused z-score, and the trimmed
+    zone-of-responsibility blocks are appended to an incremental tiled
+    BigTIFF writer with (zor, zor) tiles — peak host memory is a few halo
+    windows plus one tile row, independent of image size.
+
+    ``norm_stats`` defaults to the reader's single-pass streaming statistics
+    (float64 accumulation of the imagereader.py:33-66 formulas). On images
+    where both paths fit in RAM, outputs match :func:`inference_tiled`
+    exactly when given equal stats (tested).
+
+    Returns ``out_path``.
+    """
+    from tpuseg.utils.bigtiff import BigTiffTileWriter
+
+    height, width = reader.height, reader.width
+    if height < tile_size or width < tile_size:
+        raise ValueError(
+            f"streaming path expects a whole-slide image >= {tile_size}px per "
+            f"dim, got {height}x{width} — use inference_tiled/_single instead")
+    assert tile_size % SIZE_FACTOR == 0
+    assert radius % SIZE_FACTOR == 0
+    zor = tile_size - 2 * radius
+    assert zor >= radius, "tile size too small for the receptive-field halo"
+
+    if norm_stats is None:
+        norm_stats = reader.streaming_zscore_stats()
+    mean = np.broadcast_to(np.asarray(norm_stats[0], np.float32),
+                           (batch_size, reader.channels))
+    std = np.broadcast_to(np.asarray(norm_stats[1], np.float32),
+                          (batch_size, reader.channels))
+
+    if num_classes is not None and num_classes <= 256:
+        out_dtype: Any = np.uint8
+    elif num_classes is not None and num_classes <= 65536:
+        out_dtype = np.uint16
+    else:
+        out_dtype = np.int32
+
+    placements: List[Tuple[int, int, int, int, int, int]] = []
+    for i in range(0, height, zor):
+        for j in range(0, width, zor):
+            y_end_z = min(i + zor, height)
+            x_end_z = min(j + zor, width)
+            y_st = min(max(i - radius, 0), height - tile_size)
+            x_st = min(max(j - radius, 0), width - tile_size)
+            placements.append((i, j, y_end_z, x_end_z, y_st, x_st))
+
+    run = _single_batch_program(predict_fn, batch_size)
+    dmean, dstd = jnp.asarray(np.ascontiguousarray(mean)), jnp.asarray(np.ascontiguousarray(std))
+
+    writer = BigTiffTileWriter(out_path, (height, width), out_dtype,
+                               tile=(zor, zor), level=compression_level)
+    try:
+        for s in range(0, len(placements), batch_size):
+            group = placements[s:s + batch_size]
+            windows = [reader.read_region(y_st, x_st, tile_size, tile_size)
+                       for (_, _, _, _, y_st, x_st) in group]
+            while len(windows) < batch_size:  # static-shape tail padding
+                windows.append(windows[-1])
+            preds = np.asarray(run(jnp.asarray(np.stack(windows)), dmean, dstd))
+            for (i, j, y_end_z, x_end_z, y_st, x_st), pred in zip(group, preds):
+                writer.put_tile(pred[i - y_st:y_end_z - y_st,
+                                     j - x_st:x_end_z - x_st].astype(out_dtype))
+            if progress:
+                done = min(s + batch_size, len(placements))
+                print(f"  streamed {done}/{len(placements)} zones", flush=True)
+        writer.close()
+    except BaseException:
+        writer.abort()
+        raise
+    return out_path
 
 
 def minimize_dtype(mask: np.ndarray) -> np.ndarray:

@@ -64,83 +64,16 @@ def write_bigtiff(fp: str, img: np.ndarray, tile: Tuple[int, int] = (1024, 1024)
     ``level=6`` matches the reference's ``compress=6`` (inference.py:222).
     """
     img = np.ascontiguousarray(img)
-    if img.ndim == 2:
-        h, w = img.shape
-        spp = 1
-    elif img.ndim == 3:
-        h, w, spp = img.shape
-    else:
+    if img.ndim not in (2, 3):
         raise ValueError(f"BigTIFF writer expects HW or HWC, got {img.shape}")
-    kind = img.dtype.kind
-    if kind not in _SAMPLE_FORMATS:
-        raise ValueError(f"unsupported dtype {img.dtype}")
     th, tw = tile
-    compress = compression == "deflate"
-
-    tiles_down = -(-h // th)
-    tiles_across = -(-w // tw)
-    offsets = []
-    counts = []
-
-    with open(fp, "wb") as f:
-        # header: magic, offset size 8, pad, first-IFD offset (patched later)
-        f.write(BIGTIFF_MAGIC + struct.pack("<HHQ", 8, 0, 0))
-        # tile data, row-major over the tile grid; edge tiles are zero-padded
-        # to full tile size per the TIFF spec
-        for ty in range(tiles_down):
-            for tx in range(tiles_across):
-                block = np.zeros((th, tw, spp), img.dtype)
-                ys, xs = ty * th, tx * tw
-                sub = img[ys:ys + th, xs:xs + tw]
-                sub = sub.reshape(sub.shape[0], sub.shape[1], spp)
-                block[:sub.shape[0], :sub.shape[1]] = sub
-                raw = block.tobytes()
-                data = zlib.compress(raw, level) if compress else raw
-                if f.tell() % 2:
-                    f.write(b"\x00")  # keep offsets word-aligned
-                offsets.append(f.tell())
-                counts.append(len(data))
-                f.write(data)
-
-        # out-of-line arrays for tile offsets/bytecounts (always LONG8)
-        def write_array(values):
-            if f.tell() % 2:
-                f.write(b"\x00")
-            pos = f.tell()
-            f.write(struct.pack(f"<{len(values)}Q", *values))
-            return pos
-
-        n_tiles = len(offsets)
-        if n_tiles == 1:
-            off_value, cnt_value = offsets[0], counts[0]
-        else:
-            off_value = write_array(offsets)
-            cnt_value = write_array(counts)
-
-        entries = [
-            (_IMAGE_WIDTH, _TYPE_LONG8, 1, w),
-            (_IMAGE_LENGTH, _TYPE_LONG8, 1, h),
-            (_BITS_PER_SAMPLE, _TYPE_SHORT, 1, img.dtype.itemsize * 8),
-            (_COMPRESSION, _TYPE_SHORT, 1, 8 if compress else 1),
-            (_PHOTOMETRIC, _TYPE_SHORT, 1, 1),
-            (_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, spp),
-            (_PLANAR_CONFIG, _TYPE_SHORT, 1, 1),
-            (_TILE_WIDTH, _TYPE_SHORT, 1, tw),
-            (_TILE_LENGTH, _TYPE_SHORT, 1, th),
-            (_TILE_OFFSETS, _TYPE_LONG8, n_tiles, off_value),
-            (_TILE_BYTE_COUNTS, _TYPE_LONG8, n_tiles, cnt_value),
-            (_SAMPLE_FORMAT, _TYPE_SHORT, 1, _SAMPLE_FORMATS[kind]),
-        ]
-        if f.tell() % 2:
-            f.write(b"\x00")
-        ifd_offset = f.tell()
-        f.write(struct.pack("<Q", len(entries)))
-        for tag, typ, count, value in sorted(entries):
-            f.write(struct.pack("<HHQQ", tag, typ, count, value))
-        f.write(struct.pack("<Q", 0))  # no next IFD
-
-        f.seek(8)
-        f.write(struct.pack("<Q", ifd_offset))
+    with BigTiffTileWriter(fp, img.shape, img.dtype, tile=tile,
+                           compression=compression, level=level) as w:
+        # row-major over the tile grid; edge tiles crop to the valid area
+        # (the writer zero-pads them to full tile size per the TIFF spec)
+        for ty in range(w.tiles_down):
+            for tx in range(w.tiles_across):
+                w.put_tile(img[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw])
 
 
 def _read_ifd(f) -> Dict[int, Tuple[int, int, int]]:
@@ -165,12 +98,23 @@ def _tag_array(f, entry) -> np.ndarray:
     return np.frombuffer(raw, f"<{fmt}")
 
 
-def read_bigtiff(fp: str) -> np.ndarray:
-    """Read a (single-image, tiled or single-tile) BigTIFF written by
-    :func:`write_bigtiff` — grayscale or chunky multichannel, deflate or
-    uncompressed."""
-    with open(fp, "rb") as f:
+class BigTiffReader:
+    """Random-access region reader for (single-image, tiled) BigTIFF —
+    grayscale or chunky multichannel, deflate or uncompressed.
+
+    Only the tiles overlapping a requested region are read and
+    decompressed, so images far larger than host RAM stream in
+    window-sized pieces (the streaming whole-slide inference path). A
+    small LRU of decoded tiles serves the overlap between consecutive
+    halo windows of a row-major sweep.
+    """
+
+    def __init__(self, fp: str, tile_cache: int = 64):
+        self._fp = fp
+        self._f = open(fp, "rb")
+        f = self._f
         if f.read(4) != BIGTIFF_MAGIC:
+            f.close()
             raise IOError(f"not a little-endian BigTIFF: {fp}")
         _, _, ifd_offset = struct.unpack("<HHQ", f.read(12))
         f.seek(ifd_offset)
@@ -183,29 +127,217 @@ def read_bigtiff(fp: str) -> np.ndarray:
                 return default
             return int(_tag_array(f, tags[tag])[0])
 
-        w, h = scalar(_IMAGE_WIDTH), scalar(_IMAGE_LENGTH)
+        self.width, self.height = scalar(_IMAGE_WIDTH), scalar(_IMAGE_LENGTH)
         bits = scalar(_BITS_PER_SAMPLE, 8)
-        comp = scalar(_COMPRESSION, 1)
-        spp = scalar(_SAMPLES_PER_PIXEL, 1)
-        tw, th = scalar(_TILE_WIDTH), scalar(_TILE_LENGTH)
+        self._comp = scalar(_COMPRESSION, 1)
+        self.channels = scalar(_SAMPLES_PER_PIXEL, 1)
+        self.tile_width, self.tile_height = scalar(_TILE_WIDTH), scalar(_TILE_LENGTH)
         fmt = scalar(_SAMPLE_FORMAT, 1)
-        dtype = _FORMAT_DTYPES.get((fmt, bits))
-        if dtype is None:
+        self.dtype = _FORMAT_DTYPES.get((fmt, bits))
+        if self.dtype is None:
             raise IOError(f"unsupported sample format {(fmt, bits)}: {fp}")
-        if comp not in (1, 8):
-            raise IOError(f"unsupported compression {comp}: {fp}")
+        if self._comp not in (1, 8):
+            raise IOError(f"unsupported compression {self._comp}: {fp}")
+        self._offsets = _tag_array(f, tags[_TILE_OFFSETS])
+        self._counts = _tag_array(f, tags[_TILE_BYTE_COUNTS])
+        self.tiles_across = -(-self.width // self.tile_width)
+        self.tiles_down = -(-self.height // self.tile_height)
+        self._cache: "Dict[int, np.ndarray]" = {}  # insertion-ordered LRU
+        self._cache_max = tile_cache
 
-        offsets = _tag_array(f, tags[_TILE_OFFSETS])
-        counts = _tag_array(f, tags[_TILE_BYTE_COUNTS])
-        tiles_across = -(-w // tw)
-        out = np.zeros((-(-h // th) * th, tiles_across * tw, spp), dtype)
-        for i, (off, cnt) in enumerate(zip(offsets, counts)):
-            f.seek(int(off))
-            data = f.read(int(cnt))
-            if comp == 8:
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        if self.channels == 1:
+            return (self.height, self.width)
+        return (self.height, self.width, self.channels)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _tile(self, idx: int) -> np.ndarray:
+        """Decoded (th, tw, spp) tile block, LRU-cached."""
+        block = self._cache.pop(idx, None)
+        if block is None:
+            self._f.seek(int(self._offsets[idx]))
+            data = self._f.read(int(self._counts[idx]))
+            if self._comp == 8:
                 data = zlib.decompress(data)
-            block = np.frombuffer(data, dtype).reshape(th, tw, spp)
-            ty, tx = divmod(i, tiles_across)
-            out[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw] = block
-    out = out[:h, :w]
-    return out[..., 0] if spp == 1 else out
+            block = np.frombuffer(data, self.dtype).reshape(
+                self.tile_height, self.tile_width, self.channels)
+            if len(self._cache) >= self._cache_max:
+                self._cache.pop(next(iter(self._cache)))
+        self._cache[idx] = block  # (re-)insert as most recent
+        return block
+
+    def iter_tiles(self):
+        """Yield every decoded tile block once, row-major, valid-area
+        cropped — the single-pass statistics sweep."""
+        for idx in range(len(self._offsets)):
+            ty, tx = divmod(idx, self.tiles_across)
+            block = self._tile(idx)
+            vh = min(self.tile_height, self.height - ty * self.tile_height)
+            vw = min(self.tile_width, self.width - tx * self.tile_width)
+            yield block[:vh, :vw]
+
+    def read_region(self, y0: int, x0: int, h: int, w: int) -> np.ndarray:
+        """Return the HWC region [y0:y0+h, x0:x0+w], assembled from only the
+        overlapping tiles. The region must lie inside the image."""
+        if not (0 <= y0 and 0 <= x0 and y0 + h <= self.height and x0 + w <= self.width):
+            raise ValueError(
+                f"region {(y0, x0, h, w)} outside image {self.height}x{self.width}")
+        out = np.empty((h, w, self.channels), self.dtype)
+        th, tw = self.tile_height, self.tile_width
+        for ty in range(y0 // th, -(-(y0 + h) // th)):
+            for tx in range(x0 // tw, -(-(x0 + w) // tw)):
+                block = self._tile(ty * self.tiles_across + tx)
+                by, bx = ty * th, tx * tw
+                ys, xs = max(y0, by), max(x0, bx)
+                ye, xe = min(y0 + h, by + th), min(x0 + w, bx + tw)
+                out[ys - y0:ye - y0, xs - x0:xe - x0] = \
+                    block[ys - by:ye - by, xs - bx:xe - bx]
+        return out
+
+    def streaming_zscore_stats(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-channel (mean, std) in one pass over the tiles, float64
+        accumulation. For images that fit in RAM, prefer
+        ``tpuseg.data.preprocess.zscore_stats`` (bit-identical to the
+        reference's float32 reductions); this streaming variant is for
+        images that don't — it is the *more* accurate computation of the
+        same statistics (imagereader.py:33-66 semantics)."""
+        s = np.zeros(self.channels, np.float64)
+        s2 = np.zeros(self.channels, np.float64)
+        n = 0
+        for block in self.iter_tiles():
+            b = block.astype(np.float64)
+            s += b.sum(axis=(0, 1))
+            s2 += (b * b).sum(axis=(0, 1))
+            n += b.shape[0] * b.shape[1]
+        mean = s / n
+        var = np.maximum(s2 / n - mean * mean, 0.0)
+        return mean.astype(np.float32), np.sqrt(var).astype(np.float32)
+
+
+class BigTiffTileWriter:
+    """Incremental tiled BigTIFF writer: accepts tiles one at a time in
+    row-major grid order, so a stitched mask far larger than host RAM can
+    be written as it is produced. :func:`write_bigtiff` is the whole-array
+    convenience wrapper around this."""
+
+    def __init__(self, fp: str, shape: Tuple[int, ...], dtype,
+                 tile: Tuple[int, int] = (1024, 1024),
+                 compression: str = "deflate", level: int = 6):
+        if len(shape) == 2:
+            self._h, self._w = shape
+            self._spp = 1
+        elif len(shape) == 3:
+            self._h, self._w, self._spp = shape
+        else:
+            raise ValueError(f"BigTIFF writer expects HW or HWC shape, got {shape}")
+        self._dtype = np.dtype(dtype)
+        if self._dtype.kind not in _SAMPLE_FORMATS:
+            raise ValueError(f"unsupported dtype {self._dtype}")
+        self._th, self._tw = tile
+        self._compress = compression == "deflate"
+        self._level = level
+        self.tiles_across = -(-self._w // self._tw)
+        self.tiles_down = -(-self._h // self._th)
+        self._offsets: list = []
+        self._counts: list = []
+        self._f = open(fp, "wb")
+        # header: magic, offset size 8, pad, first-IFD offset (patched later)
+        self._f.write(BIGTIFF_MAGIC + struct.pack("<HHQ", 8, 0, 0))
+
+    def put_tile(self, block: np.ndarray) -> None:
+        """Append the next row-major grid tile. Edge tiles may come cropped
+        to the valid area; they are zero-padded to full tile size per the
+        TIFF spec."""
+        if len(self._offsets) >= self.tiles_across * self.tiles_down:
+            raise ValueError("all tiles already written")
+        block = np.asarray(block, self._dtype)
+        block = block.reshape(block.shape[0], block.shape[1], self._spp)
+        if block.shape[:2] != (self._th, self._tw):
+            full = np.zeros((self._th, self._tw, self._spp), self._dtype)
+            full[:block.shape[0], :block.shape[1]] = block
+            block = full
+        raw = np.ascontiguousarray(block).tobytes()
+        data = zlib.compress(raw, self._level) if self._compress else raw
+        f = self._f
+        if f.tell() % 2:
+            f.write(b"\x00")  # keep offsets word-aligned
+        self._offsets.append(f.tell())
+        self._counts.append(len(data))
+        f.write(data)
+
+    def close(self) -> None:
+        f = self._f
+        n_expected = self.tiles_across * self.tiles_down
+        if len(self._offsets) != n_expected:
+            f.close()
+            raise ValueError(
+                f"wrote {len(self._offsets)} of {n_expected} tiles before close")
+
+        def write_array(values):
+            if f.tell() % 2:
+                f.write(b"\x00")
+            pos = f.tell()
+            f.write(struct.pack(f"<{len(values)}Q", *values))
+            return pos
+
+        if len(self._offsets) == 1:
+            off_value, cnt_value = self._offsets[0], self._counts[0]
+        else:
+            off_value = write_array(self._offsets)
+            cnt_value = write_array(self._counts)
+
+        entries = [
+            (_IMAGE_WIDTH, _TYPE_LONG8, 1, self._w),
+            (_IMAGE_LENGTH, _TYPE_LONG8, 1, self._h),
+            (_BITS_PER_SAMPLE, _TYPE_SHORT, 1, self._dtype.itemsize * 8),
+            (_COMPRESSION, _TYPE_SHORT, 1, 8 if self._compress else 1),
+            (_PHOTOMETRIC, _TYPE_SHORT, 1, 1),
+            (_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, self._spp),
+            (_PLANAR_CONFIG, _TYPE_SHORT, 1, 1),
+            (_TILE_WIDTH, _TYPE_SHORT, 1, self._tw),
+            (_TILE_LENGTH, _TYPE_SHORT, 1, self._th),
+            (_TILE_OFFSETS, _TYPE_LONG8, len(self._offsets), off_value),
+            (_TILE_BYTE_COUNTS, _TYPE_LONG8, len(self._counts), cnt_value),
+            (_SAMPLE_FORMAT, _TYPE_SHORT, 1, _SAMPLE_FORMATS[self._dtype.kind]),
+        ]
+        if f.tell() % 2:
+            f.write(b"\x00")
+        ifd_offset = f.tell()
+        f.write(struct.pack("<Q", len(entries)))
+        for tag, typ, count, value in sorted(entries):
+            f.write(struct.pack("<HHQQ", tag, typ, count, value))
+        f.write(struct.pack("<Q", 0))  # no next IFD
+        f.seek(8)
+        f.write(struct.pack("<Q", ifd_offset))
+        f.close()
+
+    def abort(self) -> None:
+        """Close the file handle without finalizing the IFD (error paths)."""
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+
+
+def read_bigtiff(fp: str) -> np.ndarray:
+    """Read a whole (single-image, tiled or single-tile) BigTIFF written by
+    :func:`write_bigtiff` — grayscale or chunky multichannel, deflate or
+    uncompressed."""
+    with BigTiffReader(fp, tile_cache=1) as r:
+        out = r.read_region(0, 0, r.height, r.width)
+    return out[..., 0] if out.shape[-1] == 1 else out
