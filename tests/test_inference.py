@@ -204,6 +204,41 @@ def test_streaming_default_stats_close_to_host(tiny, tmp_path):
     assert agree > 0.999, f"streamed/in-RAM agreement {agree}"
 
 
+def test_single_batch_and_streaming_sharded_match(tiny, tmp_path):
+    """Small-image batches and streamed windows shard over the 8-device
+    mesh with identical outputs (batch_size becomes per-device)."""
+    from tpuseg.data.preprocess import zscore_stats
+    from tpuseg.infer.tiled import (inference_single_batch,
+                                    inference_tiled_streaming)
+    from tpuseg.parallel.mesh import make_mesh
+    from tpuseg.utils import bigtiff
+
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    mesh = make_mesh(jax.devices(), data=8, spatial=1)
+    rng = np.random.default_rng(10)
+
+    imgs = [rng.integers(0, 4096, size=(48, 64)).astype(np.uint16) for _ in range(11)]
+    base = inference_single_batch(imgs, predict, batch_size=2)
+    sharded = inference_single_batch(imgs, predict, batch_size=1, mesh=mesh)
+    for b, s in zip(base, sharded):
+        np.testing.assert_array_equal(b, s)
+
+    img = rng.integers(0, 4096, size=(400, 340)).astype(np.uint16)
+    stats = zscore_stats(img)
+    src = str(tmp_path / "slide.tif")
+    bigtiff.write_bigtiff(src, img, tile=(128, 128))
+    outs = {}
+    for name, m in (("solo", None), ("mesh", mesh)):
+        out = str(tmp_path / f"mask_{name}.tif")
+        with bigtiff.BigTiffReader(src) as reader:
+            inference_tiled_streaming(reader, predict, out, tile_size=288,
+                                      radius=96, batch_size=1, num_classes=3,
+                                      norm_stats=stats, progress=False, mesh=m)
+        outs[name] = bigtiff.read_bigtiff(out)
+    np.testing.assert_array_equal(outs["solo"], outs["mesh"])
+
+
 def test_minimize_dtype():
     assert minimize_dtype(np.array([[1, 255]])).dtype == np.uint8
     assert minimize_dtype(np.array([[1, 256]])).dtype == np.uint16

@@ -61,7 +61,7 @@ def load_model(cfg: InferenceConfig):
 
 
 def _inference_streaming(cfg: InferenceConfig, model, variables, predict_fn,
-                         img_filepath_list: List[str]) -> List[str]:
+                         img_filepath_list: List[str], mesh=None) -> List[str]:
     """Whole-slide streaming mode: every input must be a tiled BigTIFF; halo
     windows stream through the device and the mask is written incrementally,
     so images larger than host RAM segment end to end (the workload the
@@ -84,7 +84,7 @@ def _inference_streaming(cfg: InferenceConfig, model, variables, predict_fn,
             out_path = os.path.join(cfg.output_folder, slide_name)
             inference_tiled_streaming(
                 reader, predict_fn, out_path, cfg.tile_size, radius,
-                cfg.batch_size, num_classes=cfg.number_classes)
+                cfg.batch_size, num_classes=cfg.number_classes, mesh=mesh)
         written.append(out_path)
     return written
 
@@ -148,11 +148,13 @@ def inference(cfg: InferenceConfig) -> List[str]:
 
     if cfg.streaming:
         return _inference_streaming(cfg, model, variables, predict_fn,
-                                    img_filepath_list)
+                                    img_filepath_list, mesh)
 
     radius = cfg.radius
     written = []
     small_buf = []  # same-shape sub-tile images batched through one forward
+    # full device group for the small-image path: batch_size per device
+    flush_n = cfg.batch_size * (mesh.devices.size if mesh is not None else 1)
 
     def _save(mask, img_filepath):
         _, slide_name = os.path.split(img_filepath)
@@ -164,7 +166,7 @@ def inference(cfg: InferenceConfig) -> List[str]:
         if not small_buf:
             return
         masks = inference_single_batch([im for _, im in small_buf], predict_fn,
-                                       cfg.batch_size)
+                                       cfg.batch_size, mesh=mesh)
         for (p, _), mask in zip(small_buf, masks):
             _save(mask, p)
         small_buf.clear()
@@ -194,7 +196,7 @@ def inference(cfg: InferenceConfig) -> List[str]:
             if small_buf and small_buf[-1][1].shape != img.shape:
                 _flush_small()
             small_buf.append((img_filepath, img))
-            if len(small_buf) == cfg.batch_size:
+            if len(small_buf) == flush_n:
                 _flush_small()
     _flush_small()
     return written

@@ -80,12 +80,24 @@ def inference_single(img: np.ndarray, predict_fn) -> np.ndarray:
     return pred
 
 
+def _mesh_size(mesh) -> int:
+    return 1 if mesh is None else int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+
 @functools.lru_cache(maxsize=64)
-def _single_batch_program(predict_fn, batch: int):
+def _single_batch_program(predict_fn, batch: int, mesh=None):
     """Jitted fixed-batch forward for same-shape small images with fused
-    per-image z-score (stats enter as runtime (batch, C) arrays)."""
+    per-image z-score (stats enter as runtime (batch, C) arrays). With a
+    ``mesh``, the batch dimension shards over every mesh device (images /
+    halo windows are independent)."""
+    sharding = None
+    if _mesh_size(mesh) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+        sharding = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
 
     def run(stack, mean, std):
+        if sharding is not None:
+            stack = jax.lax.with_sharding_constraint(stack, sharding)
         x = stack.astype(jnp.float32) - mean[:, None, None, :]
         x = jnp.where((std <= 1.0)[:, None, None, :], x, x / std[:, None, None, :])
         return predict_fn(x)
@@ -94,12 +106,13 @@ def _single_batch_program(predict_fn, batch: int):
 
 
 def inference_single_batch(imgs: "List[np.ndarray]", predict_fn,
-                           batch_size: int = 8) -> "List[np.ndarray]":
+                           batch_size: int = 8, mesh=None) -> "List[np.ndarray]":
     """Batched small-image path: the reference (and round-1 tpuseg) runs
     sub-tile images one forward per image (inference.py:210-213) — batch 1
     leaves the chip mostly idle. Same-shape images run ``batch_size`` at a
     time through one cached program (short groups pad by repeating the last
-    image), with z-score fused on device so raw uint bytes ship.
+    image), with z-score fused on device so raw uint bytes ship. With a
+    ``mesh``, ``batch_size`` is per-device and groups shard across it.
 
     All images must share one shape; per-image normalization statistics are
     computed here with reference semantics (imagereader.py:33-66).
@@ -112,14 +125,15 @@ def inference_single_batch(imgs: "List[np.ndarray]", predict_fn,
     padded = [_pad_to_multiple(im) for im in imgs]
     pad_y, pad_x = padded[0][1], padded[0][2]
     arr = [p[0] for p in padded]
-    run = _single_batch_program(predict_fn, batch_size)
+    group_size = batch_size * _mesh_size(mesh)
+    run = _single_batch_program(predict_fn, group_size, mesh)
 
     preds: List[np.ndarray] = []
-    for s in range(0, len(arr), batch_size):
-        group = arr[s:s + batch_size]
-        gstats = stats[s:s + batch_size]
+    for s in range(0, len(arr), group_size):
+        group = arr[s:s + group_size]
+        gstats = stats[s:s + group_size]
         k = len(group)
-        while len(group) < batch_size:  # static-shape tail padding
+        while len(group) < group_size:  # static-shape tail padding
             group.append(group[-1])
             gstats.append(gstats[-1])
         mean = np.stack([m for m, _ in gstats]).astype(np.float32)
@@ -309,6 +323,7 @@ def inference_tiled_streaming(
     norm_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     compression_level: int = 6,
     progress: bool = True,
+    mesh=None,
 ) -> str:
     """Whole-slide inference for images **larger than host RAM** — a
     capability the reference does not have (inference.py:201 loads the whole
@@ -345,10 +360,11 @@ def inference_tiled_streaming(
 
     if norm_stats is None:
         norm_stats = reader.streaming_zscore_stats()
+    group_size = batch_size * _mesh_size(mesh)
     mean = np.broadcast_to(np.asarray(norm_stats[0], np.float32),
-                           (batch_size, reader.channels))
+                           (group_size, reader.channels))
     std = np.broadcast_to(np.asarray(norm_stats[1], np.float32),
-                          (batch_size, reader.channels))
+                          (group_size, reader.channels))
 
     if num_classes is not None and num_classes <= 256:
         out_dtype: Any = np.uint8
@@ -366,24 +382,24 @@ def inference_tiled_streaming(
             x_st = min(max(j - radius, 0), width - tile_size)
             placements.append((i, j, y_end_z, x_end_z, y_st, x_st))
 
-    run = _single_batch_program(predict_fn, batch_size)
+    run = _single_batch_program(predict_fn, group_size, mesh)
     dmean, dstd = jnp.asarray(np.ascontiguousarray(mean)), jnp.asarray(np.ascontiguousarray(std))
 
     writer = BigTiffTileWriter(out_path, (height, width), out_dtype,
                                tile=(zor, zor), level=compression_level)
     try:
-        for s in range(0, len(placements), batch_size):
-            group = placements[s:s + batch_size]
+        for s in range(0, len(placements), group_size):
+            group = placements[s:s + group_size]
             windows = [reader.read_region(y_st, x_st, tile_size, tile_size)
                        for (_, _, _, _, y_st, x_st) in group]
-            while len(windows) < batch_size:  # static-shape tail padding
+            while len(windows) < group_size:  # static-shape tail padding
                 windows.append(windows[-1])
             preds = np.asarray(run(jnp.asarray(np.stack(windows)), dmean, dstd))
             for (i, j, y_end_z, x_end_z, y_st, x_st), pred in zip(group, preds):
                 writer.put_tile(pred[i - y_st:y_end_z - y_st,
                                      j - x_st:x_end_z - x_st].astype(out_dtype))
             if progress:
-                done = min(s + batch_size, len(placements))
+                done = min(s + group_size, len(placements))
                 print(f"  streamed {done}/{len(placements)} zones", flush=True)
         writer.close()
     except BaseException:
