@@ -121,6 +121,10 @@ def inference_single_batch(imgs: "List[np.ndarray]", predict_fn,
 
     if not imgs:
         return []
+    if any(im.shape != imgs[0].shape for im in imgs):
+        raise ValueError(
+            f"inference_single_batch needs same-shape images, got "
+            f"{sorted({im.shape for im in imgs})}")
     stats = [zscore_stats(im) for im in imgs]
     padded = [_pad_to_multiple(im) for im in imgs]
     pad_y, pad_x = padded[0][1], padded[0][2]
@@ -173,7 +177,7 @@ def _tiled_program(predict_fn, tile_size: int, radius: int, batch_size: int,
             x_st = min(max(j - radius, 0), full_w - tile_size)
             placements.append((i, j, y_end_z, x_end_z, y_st, x_st))
     n_tiles = len(placements)
-    n_dev = 1 if mesh is None else int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n_dev = _mesh_size(mesh)
     chunk = batch_size * n_dev
     n_chunks = -(-n_tiles // chunk)
 
@@ -385,21 +389,49 @@ def inference_tiled_streaming(
     run = _single_batch_program(predict_fn, group_size, mesh)
     dmean, dstd = jnp.asarray(np.ascontiguousarray(mean)), jnp.asarray(np.ascontiguousarray(std))
 
+    # one-slot producer thread: the next group's region reads + zlib decode
+    # overlap the device compute of the current group (the reader's tile LRU
+    # is touched only from this thread)
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=1)
+    _end = object()
+
+    def produce():
+        try:
+            for s in range(0, len(placements), group_size):
+                group = placements[s:s + group_size]
+                windows = [reader.read_region(y_st, x_st, tile_size, tile_size)
+                           for (_, _, _, _, y_st, x_st) in group]
+                while len(windows) < group_size:  # static-shape tail padding
+                    windows.append(windows[-1])
+                q.put((group, np.stack(windows)))
+        except BaseException as e:
+            q.put(e)
+            return
+        q.put(_end)
+
+    threading.Thread(target=produce, daemon=True,
+                     name="tpuseg-stream-read").start()
+
     writer = BigTiffTileWriter(out_path, (height, width), out_dtype,
                                tile=(zor, zor), level=compression_level)
+    done = 0
     try:
-        for s in range(0, len(placements), group_size):
-            group = placements[s:s + group_size]
-            windows = [reader.read_region(y_st, x_st, tile_size, tile_size)
-                       for (_, _, _, _, y_st, x_st) in group]
-            while len(windows) < group_size:  # static-shape tail padding
-                windows.append(windows[-1])
-            preds = np.asarray(run(jnp.asarray(np.stack(windows)), dmean, dstd))
+        while True:
+            item = q.get()
+            if item is _end:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            group, windows = item
+            preds = np.asarray(run(jnp.asarray(windows), dmean, dstd))
             for (i, j, y_end_z, x_end_z, y_st, x_st), pred in zip(group, preds):
                 writer.put_tile(pred[i - y_st:y_end_z - y_st,
                                      j - x_st:x_end_z - x_st].astype(out_dtype))
+            done += len(group)
             if progress:
-                done = min(s + group_size, len(placements))
                 print(f"  streamed {done}/{len(placements)} zones", flush=True)
         writer.close()
     except BaseException:
