@@ -101,6 +101,24 @@ def test_train_model_zero1_matches_replicated(dbs, tmp_path):
     assert np.isfinite(results[True].final_train_loss)
 
 
+def test_train_model_profile_steps(dbs, tmp_path):
+    """--profile_steps captures a jax.profiler trace of steady-state steps
+    (epoch 1) into <output>/profile."""
+    import glob
+
+    train_db, test_db = dbs
+    out = str(tmp_path / "prof")
+    result = train_model(TrainConfig(
+        train_database=train_db, test_database=test_db, output_folder=out,
+        batch_size=1, test_every_n_steps=2, early_stopping_count=5,
+        use_augmentation=False, max_epochs=2, dtype="float32",
+        base_features=2, seed=0, profile_steps=2))
+    assert result.epochs_run == 2
+    traces = glob.glob(os.path.join(out, "profile", "**", "*.xplane.pb"),
+                       recursive=True)
+    assert traces, f"no profiler trace written under {out}/profile"
+
+
 def test_checkpoint_roundtrip(dbs, tmp_path):
     import jax
     import jax.numpy as jnp

@@ -61,6 +61,10 @@ def main(argv=None):
                         help="ZeRO-1 weight-update sharding: shard Adam moments over "
                              "the data-parallel mesh axis [0 = replicate, 1 = shard] "
                              "(tpuseg extension; no-op on a single chip)")
+    parser.add_argument("--profile_steps", dest="profile_steps", type=int, default=0,
+                        help="capture a jax.profiler device trace of the first N "
+                             "steady-state steps into <output>/profile "
+                             "(tpuseg extension; 0 disables)")
     parser.add_argument("--multihost", dest="multihost", type=int, default=0,
                         help="initialize jax.distributed for multi-host (DCN) training; "
                              "run once per TPU host, coordinator auto-detected on TPU "
@@ -116,6 +120,7 @@ def main(argv=None):
         device_augment=bool(args.device_augmentation),
         resume_checkpoint=args.resume_checkpoint,
         shard_optimizer=bool(args.shard_optimizer),
+        profile_steps=args.profile_steps,
         augment_params=augment_params,
     )
     train_model(cfg)

@@ -75,6 +75,11 @@ class TrainConfig:
     # mesh axis, gradients reduce-scattered into the shards (tpuseg
     # extension; no-op on a single device)
     shard_optimizer: bool = False
+    # capture a jax.profiler device trace of the first N steady-state steps
+    # (epoch 1, after the warmup epoch's compiles) into
+    # <output_folder>/profile — opens in TensorBoard's profile plugin /
+    # Perfetto (tpuseg extension; 0 disables)
+    profile_steps: int = 0
 
 
 @dataclass
@@ -189,6 +194,7 @@ def train_model(config: TrainConfig) -> TrainResult:
 
     test_loss: List[float] = []
     train_writer, test_writer = _summary_writers(cfg.output_folder)
+    profile_ctx = None
 
     try:
         print("Starting Readers")
@@ -215,12 +221,25 @@ def train_model(config: TrainConfig) -> TrainResult:
                 cur_train_epoch_size = train_epoch_size
                 state = state.replace(lr=jnp.asarray(cfg.learning_rate, jnp.float32))
 
+            if cfg.profile_steps and epoch == 1:
+                # epoch 1 = first steady-state epoch (epoch 0 pays compiles)
+                from tpuseg.utils.profiling import trace
+
+                profile_ctx = trace(os.path.join(cfg.output_folder, "profile"))
+                profile_ctx.__enter__()
+                print(f"Profiling {cfg.profile_steps} steps -> "
+                      f"{cfg.output_folder}/profile")
+
             start_time = time.time()
             # reference runs steps 0..size inclusive (break on step > size)
             for step in range(cur_train_epoch_size + 1):
                 images, labels = next(train_iter)
                 state, metrics = tstep(state, images, labels)
                 loss = float(metrics["loss"])
+                if profile_ctx is not None and step + 1 >= cfg.profile_steps:
+                    # the float() above synced the step; close the trace
+                    profile_ctx.__exit__(None, None, None)
+                    profile_ctx = None
                 acc = float(metrics["accuracy"])
                 meter.update(global_batch_size)
                 print(f"Train Epoch {epoch}: Batch {step}/{train_epoch_size}: "
@@ -286,6 +305,8 @@ def train_model(config: TrainConfig) -> TrainResult:
                 break
             epoch += 1
     finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
         try:
             ckpt_writer.wait()  # flush any in-flight checkpoint write
         except NameError:
