@@ -121,3 +121,54 @@ def test_read_ahead_propagates_errors(tmp_path):
     it = _read_ahead([bad])
     with pytest.raises(Exception):
         next(it)
+
+
+def test_read_ahead_disabled_is_synchronous(tmp_path):
+    p = str(tmp_path / "a.tif")
+    imwrite(p, np.full((20, 20), 300, np.uint16))
+    got = list(_read_ahead([p], enabled=False))
+    assert len(got) == 1 and got[0][0] == p
+    assert got[0][2][0][0] == pytest.approx(300.0)
+
+
+def test_streaming_refuses_inplace_overwrite(ckpt, tmp_path):
+    """--streaming must not truncate the slide it is still reading."""
+    from tpuseg.utils import bigtiff
+
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    img = np.random.default_rng(3).integers(0, 4096, size=(400, 330)).astype(np.uint16)
+    bigtiff.write_bigtiff(os.path.join(imgdir, "slide.tif"), img, tile=(128, 128))
+    cfg = InferenceConfig(
+        checkpoint_filepath=ckpt, image_folder=imgdir, output_folder=imgdir,
+        number_classes=2, number_channels=1, tile_size=288, radius=96,
+        batch_size=2, dtype="float32", base_features=2, streaming=True)
+    with pytest.raises(ValueError, match="cannot write over its input"):
+        inference(cfg)
+    np.testing.assert_array_equal(  # slide untouched
+        bigtiff.read_bigtiff(os.path.join(imgdir, "slide.tif")), img)
+
+
+def test_program_cache_dies_with_model():
+    """Compiled inference programs are cached on the predict_fn itself —
+    one program per geometry, and dropping the model frees the whole cycle
+    (no global registry pinning dead checkpoints' device weights)."""
+    import gc
+    import weakref
+
+    import jax.numpy as jnp
+
+    from tpuseg.infer.tiled import inference_single_batch, make_predict_fn
+    from tpuseg.models.unet import UNet, init_variables
+
+    model = UNet(num_classes=2, base_features=2, dtype=jnp.float32)
+    variables = init_variables(model, jax.random.PRNGKey(1), num_channels=1)
+    predict = make_predict_fn(model, variables)
+    img = np.random.default_rng(4).integers(0, 100, size=(32, 32)).astype(np.uint16)
+    inference_single_batch([img], predict, batch_size=1)
+    inference_single_batch([img, img], predict, batch_size=1)  # same geometry
+    assert len(predict._tpuseg_programs) == 1  # one cached program, reused
+    ref = weakref.ref(predict)
+    del predict
+    gc.collect()
+    assert ref() is None, "predict_fn (and its program cache) not collected"

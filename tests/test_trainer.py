@@ -101,18 +101,20 @@ def test_train_model_zero1_matches_replicated(dbs, tmp_path):
     assert np.isfinite(results[True].final_train_loss)
 
 
-def test_train_model_profile_steps(dbs, tmp_path):
+@pytest.mark.parametrize("profile_steps", [2, 99])
+def test_train_model_profile_steps(dbs, tmp_path, profile_steps):
     """--profile_steps captures a jax.profiler trace of steady-state steps
-    (epoch 1) into <output>/profile."""
+    (epoch 1) into <output>/profile; a request longer than the epoch closes
+    at epoch end instead of recording forever."""
     import glob
 
     train_db, test_db = dbs
-    out = str(tmp_path / "prof")
+    out = str(tmp_path / f"prof{profile_steps}")
     result = train_model(TrainConfig(
         train_database=train_db, test_database=test_db, output_folder=out,
         batch_size=1, test_every_n_steps=2, early_stopping_count=5,
         use_augmentation=False, max_epochs=2, dtype="float32",
-        base_features=2, seed=0, profile_steps=2))
+        base_features=2, seed=0, profile_steps=profile_steps))
     assert result.epochs_run == 2
     traces = glob.glob(os.path.join(out, "profile", "**", "*.xplane.pb"),
                        recursive=True)

@@ -42,6 +42,9 @@ def main(argv=None):
     parser.add_argument("--no_data_parallel", dest="data_parallel", action="store_false",
                         help="disable sharding the tile grid over local devices "
                              "(tpuseg extension; sharding is on by default)")
+    parser.add_argument("--no_read_ahead", dest="read_ahead", action="store_false",
+                        help="read images synchronously instead of prefetching the "
+                             "next one (halves peak host memory; tpuseg extension)")
     parser.add_argument("--streaming", dest="streaming", action="store_true",
                         help="stream tiled-BigTIFF inputs window-by-window and "
                              "write masks incrementally — segments whole-slide "
@@ -61,6 +64,7 @@ def main(argv=None):
         dtype=args.dtype,
         data_parallel=args.data_parallel,
         streaming=args.streaming,
+        read_ahead=args.read_ahead,
     ))
 
 

@@ -49,6 +49,10 @@ class InferenceConfig:
     # stream tiled-BigTIFF inputs window-by-window (images larger than host
     # RAM); masks are written incrementally as tiled BigTIFF
     streaming: bool = False
+    # overlap the next image's disk read + stats with device compute; peak
+    # host memory holds ~2 decoded images — disable (or use streaming) when
+    # single images approach half of host RAM
+    read_ahead: bool = True
 
 
 def load_model(cfg: InferenceConfig):
@@ -76,6 +80,13 @@ def _inference_streaming(cfg: InferenceConfig, model, variables, predict_fn,
     for i, img_filepath in enumerate(img_filepath_list):
         _, slide_name = os.path.split(img_filepath)
         print(f"{i}/{len(img_filepath_list)} : {slide_name}")
+        out_check = os.path.join(cfg.output_folder, slide_name)
+        if os.path.abspath(out_check) == os.path.abspath(img_filepath):
+            # unlike the in-RAM path (read completes before write), the
+            # streaming writer would truncate the slide the reader is
+            # still lazily reading regions from
+            raise ValueError(
+                f"streaming inference cannot write over its input: {img_filepath}")
         with BigTiffReader(img_filepath) as reader:
             print(f"  img.shape={reader.shape}")
             if radius is None:
@@ -89,12 +100,18 @@ def _inference_streaming(cfg: InferenceConfig, model, variables, predict_fn,
     return written
 
 
-def _read_ahead(paths: List[str], depth: int = 1):
+def _read_ahead(paths: List[str], depth: int = 1, enabled: bool = True):
     """Yield ``(path, image, zscore_stats)`` with the disk read + whole-image
     statistics of the *next* image overlapped with the caller's device work.
     The reference reads synchronously inside its loop (inference.py:195-206);
     one background thread with a bounded slot hides that latency without
-    reordering or batching semantics."""
+    reordering or batching semantics. ``enabled=False`` reads synchronously
+    (one decoded image alive at a time — the round-1 memory profile)."""
+    if not enabled:
+        for p in paths:
+            img = imread(p)
+            yield p, img, zscore_stats(img)
+        return
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _end = object()
 
@@ -165,14 +182,16 @@ def inference(cfg: InferenceConfig) -> List[str]:
     def _flush_small():
         if not small_buf:
             return
-        masks = inference_single_batch([im for _, im in small_buf], predict_fn,
-                                       cfg.batch_size, mesh=mesh)
-        for (p, _), mask in zip(small_buf, masks):
+        masks = inference_single_batch(
+            [im for _, im, _ in small_buf], predict_fn, cfg.batch_size,
+            mesh=mesh, stats=[st for _, _, st in small_buf])
+        for (p, _, _), mask in zip(small_buf, masks):
             _save(mask, p)
         small_buf.clear()
 
     print("Starting inference of file list")
-    for i, (img_filepath, img, stats) in enumerate(_read_ahead(img_filepath_list)):
+    for i, (img_filepath, img, stats) in enumerate(
+            _read_ahead(img_filepath_list, enabled=cfg.read_ahead)):
         _, slide_name = os.path.split(img_filepath)
         print(f"{i}/{len(img_filepath_list)} : {slide_name}")
         print(f"  img.shape={img.shape}")
@@ -195,7 +214,7 @@ def inference(cfg: InferenceConfig) -> List[str]:
             # flush preserves the folder's file order
             if small_buf and small_buf[-1][1].shape != img.shape:
                 _flush_small()
-            small_buf.append((img_filepath, img))
+            small_buf.append((img_filepath, img, stats))
             if len(small_buf) == flush_n:
                 _flush_small()
     _flush_small()

@@ -20,7 +20,7 @@ otherwise identical to inference.py.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Callable, List, Optional, Tuple
 
 import jax
@@ -84,8 +84,33 @@ def _mesh_size(mesh) -> int:
     return 1 if mesh is None else int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
 
-@functools.lru_cache(maxsize=64)
+def _cached_program(predict_fn, key, build):
+    """Per-predict_fn program cache, stored ON the predict_fn object: each
+    geometry traces once per model (re-tracing the big stitch program costs
+    seconds — see CLAUDE.md), and because the only path to the cache runs
+    through predict_fn itself, dropping the model leaves an isolated cycle
+    the garbage collector frees — no global registry pinning dead
+    checkpoints' device weights. (A WeakKeyDictionary would NOT work here:
+    the cached program closes over predict_fn, so the value would keep its
+    own key alive forever.)"""
+    cache = getattr(predict_fn, "_tpuseg_programs", None)
+    if cache is None:
+        try:
+            predict_fn._tpuseg_programs = cache = {}
+        except AttributeError:  # exotic callable without __dict__
+            return build()
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
 def _single_batch_program(predict_fn, batch: int, mesh=None):
+    return _cached_program(
+        predict_fn, ("single", batch, mesh),
+        lambda: _build_single_batch_program(predict_fn, batch, mesh))
+
+
+def _build_single_batch_program(predict_fn, batch: int, mesh=None):
     """Jitted fixed-batch forward for same-shape small images with fused
     per-image z-score (stats enter as runtime (batch, C) arrays). With a
     ``mesh``, the batch dimension shards over every mesh device (images /
@@ -106,7 +131,8 @@ def _single_batch_program(predict_fn, batch: int, mesh=None):
 
 
 def inference_single_batch(imgs: "List[np.ndarray]", predict_fn,
-                           batch_size: int = 8, mesh=None) -> "List[np.ndarray]":
+                           batch_size: int = 8, mesh=None,
+                           stats=None) -> "List[np.ndarray]":
     """Batched small-image path: the reference (and round-1 tpuseg) runs
     sub-tile images one forward per image (inference.py:210-213) — batch 1
     leaves the chip mostly idle. Same-shape images run ``batch_size`` at a
@@ -114,8 +140,10 @@ def inference_single_batch(imgs: "List[np.ndarray]", predict_fn,
     image), with z-score fused on device so raw uint bytes ship. With a
     ``mesh``, ``batch_size`` is per-device and groups shard across it.
 
-    All images must share one shape; per-image normalization statistics are
-    computed here with reference semantics (imagereader.py:33-66).
+    All images must share one shape; per-image normalization statistics
+    follow reference semantics (imagereader.py:33-66) — pass precomputed
+    ``stats`` (one ``zscore_stats`` pair per image, e.g. from the runner's
+    read-ahead thread) to avoid recomputing them here.
     """
     from tpuseg.data.preprocess import zscore_stats
 
@@ -125,7 +153,11 @@ def inference_single_batch(imgs: "List[np.ndarray]", predict_fn,
         raise ValueError(
             f"inference_single_batch needs same-shape images, got "
             f"{sorted({im.shape for im in imgs})}")
-    stats = [zscore_stats(im) for im in imgs]
+    if stats is None:
+        stats = [zscore_stats(im) for im in imgs]
+    elif len(stats) != len(imgs):
+        raise ValueError(f"{len(stats)} stats for {len(imgs)} images")
+    stats = list(stats)
     padded = [_pad_to_multiple(im) for im in imgs]
     pad_y, pad_x = padded[0][1], padded[0][2]
     arr = [p[0] for p in padded]
@@ -153,16 +185,27 @@ def inference_single_batch(imgs: "List[np.ndarray]", predict_fn,
     return [np.asarray(p) for p in preds]
 
 
-@functools.lru_cache(maxsize=64)
 def _tiled_program(predict_fn, tile_size: int, radius: int, batch_size: int,
                    height: int, width: int, full_h: int, full_w: int,
                    mesh, normalize: bool, shrink_u8: bool):
-    """Build (and cache) the jitted tile/forward/stitch program for one
-    geometry. Caching is what makes folder inference pay trace+compile once
-    per image *shape* rather than once per image — re-tracing this program
-    costs seconds, comparable to the compute itself. ``norm_stats`` enter
-    the cached variant as runtime arguments so every image shares the same
-    compiled program.
+    key = ("tiled", tile_size, radius, batch_size, height, width,
+           full_h, full_w, mesh, normalize, shrink_u8)
+    return _cached_program(
+        predict_fn, key,
+        lambda: _build_tiled_program(predict_fn, tile_size, radius, batch_size,
+                                     height, width, full_h, full_w, mesh,
+                                     normalize, shrink_u8))
+
+
+def _build_tiled_program(predict_fn, tile_size: int, radius: int, batch_size: int,
+                         height: int, width: int, full_h: int, full_w: int,
+                         mesh, normalize: bool, shrink_u8: bool):
+    """Build the jitted tile/forward/stitch program for one geometry.
+    Cached per predict_fn (see ``_cached_program``) so folder inference pays
+    trace+compile once per image *shape* rather than once per image —
+    re-tracing this program costs seconds, comparable to the compute itself.
+    ``norm_stats`` enter the cached variant as runtime arguments so every
+    image shares the same compiled program.
     """
     zor = tile_size - 2 * radius  # zone of responsibility, inference.py:58
 

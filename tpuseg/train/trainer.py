@@ -236,8 +236,12 @@ def train_model(config: TrainConfig) -> TrainResult:
                 images, labels = next(train_iter)
                 state, metrics = tstep(state, images, labels)
                 loss = float(metrics["loss"])
-                if profile_ctx is not None and step + 1 >= cfg.profile_steps:
-                    # the float() above synced the step; close the trace
+                if profile_ctx is not None and (
+                        step + 1 >= cfg.profile_steps
+                        or step == cur_train_epoch_size):
+                    # the float() above synced the step; close the trace (at
+                    # the requested step count, or at epoch end if the epoch
+                    # is shorter — never leave it recording into later epochs)
                     profile_ctx.__exit__(None, None, None)
                     profile_ctx = None
                 acc = float(metrics["accuracy"])

@@ -112,9 +112,17 @@ class BigTiffReader:
     def __init__(self, fp: str, tile_cache: int = 64):
         self._fp = fp
         self._f = open(fp, "rb")
+        try:
+            self._parse_header(fp)
+        except BaseException:
+            self._f.close()
+            raise
+        self._cache: "Dict[int, np.ndarray]" = {}  # insertion-ordered LRU
+        self._cache_max = tile_cache
+
+    def _parse_header(self, fp: str) -> None:
         f = self._f
         if f.read(4) != BIGTIFF_MAGIC:
-            f.close()
             raise IOError(f"not a little-endian BigTIFF: {fp}")
         _, _, ifd_offset = struct.unpack("<HHQ", f.read(12))
         f.seek(ifd_offset)
@@ -138,12 +146,12 @@ class BigTiffReader:
             raise IOError(f"unsupported sample format {(fmt, bits)}: {fp}")
         if self._comp not in (1, 8):
             raise IOError(f"unsupported compression {self._comp}: {fp}")
+        if _TILE_OFFSETS not in tags or _TILE_BYTE_COUNTS not in tags:
+            raise IOError(f"BigTIFF is not tiled (strip layout unsupported): {fp}")
         self._offsets = _tag_array(f, tags[_TILE_OFFSETS])
         self._counts = _tag_array(f, tags[_TILE_BYTE_COUNTS])
         self.tiles_across = -(-self.width // self.tile_width)
         self.tiles_down = -(-self.height // self.tile_height)
-        self._cache: "Dict[int, np.ndarray]" = {}  # insertion-ordered LRU
-        self._cache_max = tile_cache
 
     @property
     def shape(self) -> Tuple[int, ...]:

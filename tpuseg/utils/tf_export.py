@@ -4,9 +4,18 @@ The inverse of :mod:`tpuseg.utils.tf_import`: builds the reference Keras
 graph (UNet/model.py:85-146), loads the tpuseg Flax weights into it with
 the proven conventions (tests/test_tf_parity.py), and writes a
 ``tf.train.Checkpoint(optimizer, model)`` with the reference's object
-graph (train.py:96) — so a tpuseg-trained model drops straight into the
+graph (train.py:96) — so a tpuseg-trained model drops into the
 reference's ``inference.py`` (restored via model.py:81-83). Together with
 the importer this makes migration a two-way street.
+
+Schema caveat: ``tf.train.Checkpoint`` variable paths follow the
+*installed* Keras' object graph — ``model/layer_with_weights-K/...``
+under Keras 2 (TF <= 2.15) vs ``model/_operations/K/...`` under Keras 3
+(TF >= 2.16) — and a restore only matches variables written under the
+same major (``expect_partial()`` silently restores nothing otherwise).
+Run this exporter under the same TF/Keras generation as the reference
+deployment that will consume the checkpoint; the export prints which
+schema it wrote (the importer accepts both).
 
 Weight conventions (the exact inverse of tf_import.py):
 
@@ -126,4 +135,13 @@ def export_reference_checkpoint(checkpoint_path: str, output_prefix: str,
     ckpt = tf.train.Checkpoint(
         optimizer=tf.keras.optimizers.Adam(learning_rate=learning_rate),
         model=kmodel)
-    return ckpt.write(output_prefix)
+    prefix = ckpt.write(output_prefix)
+
+    keras_major = int(str(getattr(tf.keras, "__version__", "2")).split(".")[0])
+    schema = ("model/_operations/K (Keras 3, restores in TF >= 2.16)"
+              if keras_major >= 3 else
+              "model/layer_with_weights-K (Keras 2, restores in TF <= 2.15)")
+    print(f"Checkpoint schema: {schema} — a reference deployment on the "
+          "other Keras major will silently restore nothing "
+          "(expect_partial); re-export under its TF version if so.")
+    return prefix
