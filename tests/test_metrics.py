@@ -66,3 +66,41 @@ def test_evaluate_folder(tmp_path):
     assert res["num_images"] == 3
     assert abs(res["pixel_accuracy"] - 0.75) < 0.02
     assert 0.4 < res["mean_iou"] < 0.75
+
+
+def test_evaluate_folder_streams_bigtiff_pairs(tmp_path):
+    """BigTIFF mask pairs stream tile-by-tile with identical scores to the
+    in-RAM path (the whole-slide streaming-inference output format)."""
+    from tpuseg.ops.metrics import evaluate_folder
+    from tpuseg.utils import bigtiff
+    from tpuseg.utils.imagio import imwrite
+
+    rng = np.random.default_rng(4)
+    t = rng.integers(0, 3, (300, 260)).astype(np.uint8)
+    p = t.copy()
+    p[:100] = (p[:100] + 1) % 3
+
+    for sub in ("pred_bt", "true_bt", "pred_pl", "true_pl"):
+        (tmp_path / sub).mkdir()
+    bigtiff.write_bigtiff(str(tmp_path / "pred_bt" / "m.tif"), p, tile=(64, 64))
+    bigtiff.write_bigtiff(str(tmp_path / "true_bt" / "m.tif"), t, tile=(64, 64))
+    imwrite(str(tmp_path / "pred_pl" / "m.png"), p)
+    imwrite(str(tmp_path / "true_pl" / "m.png"), t)
+
+    streamed = evaluate_folder(str(tmp_path / "pred_bt"), str(tmp_path / "true_bt"), 3)
+    in_ram = evaluate_folder(str(tmp_path / "pred_pl"), str(tmp_path / "true_pl"), 3)
+    assert streamed == in_ram
+
+
+def test_evaluate_folder_rejects_out_of_range_labels(tmp_path):
+    import pytest
+
+    from tpuseg.ops.metrics import evaluate_folder
+    from tpuseg.utils.imagio import imwrite
+
+    (tmp_path / "pred").mkdir()
+    (tmp_path / "true").mkdir()
+    imwrite(str(tmp_path / "pred" / "m.tif"), np.full((16, 16), 5, np.uint8))
+    imwrite(str(tmp_path / "true" / "m.tif"), np.zeros((16, 16), np.uint8))
+    with pytest.raises(ValueError, match="outside"):
+        evaluate_folder(str(tmp_path / "pred"), str(tmp_path / "true"), 2)

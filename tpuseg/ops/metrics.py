@@ -55,14 +55,54 @@ def segmentation_metrics(logits_or_pred: jax.Array, labels: jax.Array,
     }
 
 
+def _bincount_cm(pred, true, num_classes):
+    """Exact integer confusion counts on host (rows = truth, cols = pred) —
+    the streaming accumulator; identical counts to :func:`confusion_matrix`."""
+    import numpy as np
+
+    p = np.asarray(pred).ravel().astype(np.int64)
+    t = np.asarray(true).ravel().astype(np.int64)
+    if p.min(initial=0) < 0 or t.min(initial=0) < 0 or \
+            p.max(initial=0) >= num_classes or t.max(initial=0) >= num_classes:
+        raise ValueError(
+            f"mask labels outside [0, {num_classes}) — wrong --number_classes?")
+    return np.bincount(t * num_classes + p,
+                       minlength=num_classes * num_classes
+                       ).reshape(num_classes, num_classes)
+
+
+def _stream_confusion(pred_fp: str, truth_fp: str, num_classes: int, cm_total) -> None:
+    """Accumulate the confusion matrix tile-by-tile from two tiled BigTIFFs
+    without materializing either mask — scores whole-slide masks larger than
+    host RAM (the streaming inference path's output)."""
+    from tpuseg.utils.bigtiff import BigTiffReader
+
+    with BigTiffReader(pred_fp, tile_cache=1) as pr, \
+            BigTiffReader(truth_fp, tile_cache=1) as tr:
+        if (pr.height, pr.width) != (tr.height, tr.width):
+            raise IOError(f"mask shape mismatch: {pred_fp} {pr.shape} vs "
+                          f"{truth_fp} {tr.shape}")
+        th, tw = pr.tile_height, pr.tile_width
+        for ty in range(pr.tiles_down):
+            for tx in range(pr.tiles_across):
+                y0, x0 = ty * th, tx * tw
+                h = min(th, pr.height - y0)
+                w = min(tw, pr.width - x0)
+                cm_total += _bincount_cm(pr.read_region(y0, x0, h, w),
+                                         tr.read_region(y0, x0, h, w), num_classes)
+
+
 def evaluate_folder(pred_folder: str, truth_folder: str, num_classes: int) -> Dict[str, float]:
     """Host-side corpus evaluation: accumulate the confusion matrix over
     matching mask files in two folders (e.g. inference output vs ground
-    truth), then derive mIoU/Dice/accuracy."""
+    truth), then derive mIoU/Dice/accuracy. Pairs where both files are
+    tiled BigTIFF stream tile-by-tile, so whole-slide masks larger than
+    host RAM score without being materialized."""
     import os
 
     import numpy as np
 
+    from tpuseg.utils.bigtiff import is_bigtiff
     from tpuseg.utils.imagio import imread
 
     files = sorted(f for f in os.listdir(pred_folder)
@@ -71,10 +111,14 @@ def evaluate_folder(pred_folder: str, truth_folder: str, num_classes: int) -> Di
         raise IOError(f"no matching mask files between {pred_folder} and {truth_folder}")
     cm_total = np.zeros((num_classes, num_classes), np.float64)
     for fn in files:
-        pred = np.asarray(imread(os.path.join(pred_folder, fn))).astype(np.int32)
-        true = np.asarray(imread(os.path.join(truth_folder, fn))).astype(np.int32)
-        cm_total += np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(true),
-                                                num_classes))
+        pred_fp = os.path.join(pred_folder, fn)
+        truth_fp = os.path.join(truth_folder, fn)
+        if is_bigtiff(pred_fp) and is_bigtiff(truth_fp):
+            _stream_confusion(pred_fp, truth_fp, num_classes, cm_total)
+            continue
+        pred = np.asarray(imread(pred_fp)).astype(np.int32)
+        true = np.asarray(imread(truth_fp)).astype(np.int32)
+        cm_total += _bincount_cm(pred, true, num_classes)
     cm = jnp.asarray(cm_total)
     iou = iou_from_confusion(cm)
     present = np.asarray((cm.sum(axis=1) + cm.sum(axis=0)) > 0)
