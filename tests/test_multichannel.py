@@ -84,3 +84,47 @@ def test_multichannel_inference(db):
     pred = inference_single(img, predict)
     assert pred.shape == (50, 60)
     assert pred.max() < N_CLASSES
+
+
+def test_multichannel_batched_and_streaming_inference(tmp_path):
+    """The round-2 inference paths (batched small images, streamed slides)
+    handle C>1 imagery with per-channel z-score."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.data.preprocess import zscore_normalize, zscore_stats
+    from tpuseg.infer.tiled import (inference_single, inference_single_batch,
+                                    inference_tiled, inference_tiled_streaming,
+                                    make_predict_fn)
+    from tpuseg.models.unet import UNet, init_variables
+    from tpuseg.utils import bigtiff
+
+    model = UNet(num_classes=N_CLASSES, base_features=2, dtype=jnp.float32)
+    variables = init_variables(model, jax.random.PRNGKey(0), CHANNELS, (32, 32))
+    predict = make_predict_fn(model, variables)
+    rng = np.random.default_rng(5)
+
+    # batched small images == per-image host-normalized path
+    imgs = [rng.integers(0, 4096, (48, 64, CHANNELS)).astype(np.uint16)
+            for _ in range(3)]
+    batched = inference_single_batch(imgs, predict, batch_size=2)
+    for im, got in zip(imgs, batched):
+        want = inference_single(
+            zscore_normalize(im.astype(np.float32), channels_first=False), predict)
+        np.testing.assert_array_equal(want, got)
+
+    # streamed slide == in-RAM tiled under equal stats
+    img = rng.integers(0, 4096, (320, 320, CHANNELS)).astype(np.uint16)
+    stats = zscore_stats(img)
+    in_ram = inference_tiled(img, predict, tile_size=288, radius=96,
+                             batch_size=2, num_classes=N_CLASSES, norm_stats=stats)
+    src = str(tmp_path / "slide.tif")
+    bigtiff.write_bigtiff(src, img, tile=(128, 128))
+    out = str(tmp_path / "mask.tif")
+    with bigtiff.BigTiffReader(src) as reader:
+        inference_tiled_streaming(reader, predict, out, tile_size=288,
+                                  radius=96, batch_size=2,
+                                  num_classes=N_CLASSES, norm_stats=stats,
+                                  progress=False)
+    np.testing.assert_array_equal(in_ram.astype(np.uint8),
+                                  bigtiff.read_bigtiff(out))
