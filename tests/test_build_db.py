@@ -27,6 +27,47 @@ def test_serialize_roundtrip():
     assert img2.dtype == np.uint16 and msk2.dtype == np.uint8
 
 
+def test_serialize_supports_reference_dtype_matrix(tmp_path):
+    """Every input dtype the reference documents (README.md:15-24: images
+    uint8/uint16/int32/float32, masks uint8/uint16/int32) round-trips
+    through the wire format and the reader's processed + raw modes."""
+    import numpy as np
+
+    from tpuseg.data.build_db import deserialize_image_mask_pair
+    from tpuseg.data.reader import ImageReader
+    from tpuseg.data.recordstore import RecordWriter
+
+    rng = np.random.default_rng(0)
+    img_dtypes = [np.uint8, np.uint16, np.int32, np.float32]
+    msk_dtypes = [np.uint8, np.uint16, np.int32]
+    for i_dt in img_dtypes:
+        for m_dt in msk_dtypes:
+            img = (rng.random((32, 32, 1)) * 100).astype(i_dt)
+            msk = rng.integers(0, 2, (32, 32)).astype(m_dt)
+            data = serialize_image_mask_pair(img, msk)
+            img2, msk2 = deserialize_image_mask_pair(data)
+            assert img2.dtype == i_dt and msk2.dtype == m_dt
+            np.testing.assert_array_equal(img, img2)
+            np.testing.assert_array_equal(msk, msk2)
+
+    # a float32-image database flows through both reader modes
+    db = str(tmp_path / "train-f32.lmdb")
+    w = RecordWriter(db)
+    for i in range(4):
+        img = rng.normal(0, 50, (32, 32, 1)).astype(np.float32)
+        msk = rng.integers(0, 2, (32, 32)).astype(np.int32)
+        w.put(f"img{i}:0,1", serialize_image_mask_pair(img, msk))
+    w.close()
+    with ImageReader(db, use_augmentation=False, number_classes=2,
+                     num_workers=1, layout="nhwc", seed=0) as r:
+        im, lbl = next(r.generator())
+        assert im.dtype == np.float32 and lbl.shape == (32, 32, 2)
+    with ImageReader(db, raw_mode=True, number_classes=2,
+                     num_workers=1, seed=0) as r:
+        imgs, msks = next(r.batches(2))
+        assert imgs.dtype == np.float32 and msks.dtype == np.int32
+
+
 def test_enforce_size_multiple():
     img = np.random.default_rng(0).random((37, 50))
     out = enforce_size_multiple(img)
