@@ -68,6 +68,46 @@ def test_serialize_supports_reference_dtype_matrix(tmp_path):
         assert imgs.dtype == np.float32 and msks.dtype == np.int32
 
 
+def test_streamed_build_matches_in_ram_tiling(tmp_path):
+    """Whole-slide BigTIFF pairs tile straight from disk into the record
+    store with byte-identical keys and records to the in-RAM path."""
+    import numpy as np
+
+    from tpuseg.data.build_db import (deserialize_image_mask_pair,
+                                      generate_database, process_slide_tiling)
+    from tpuseg.data.recordstore import RecordReader
+    from tpuseg.utils import bigtiff
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 4096, (600, 500)).astype(np.uint16)
+    msk = rng.integers(0, 3, (600, 500)).astype(np.uint8)
+
+    imgdir = tmp_path / "imgs"
+    mskdir = tmp_path / "msks"
+    imgdir.mkdir(), mskdir.mkdir()
+    bigtiff.write_bigtiff(str(imgdir / "slide.tif"), img, tile=(128, 128))
+    bigtiff.write_bigtiff(str(mskdir / "slide.tif"), msk, tile=(128, 128))
+
+    db = generate_database(["slide.tif"], "train-s.lmdb", str(imgdir),
+                           str(mskdir), str(tmp_path), tile_size=256)
+
+    tiles, mtiles, keys = process_slide_tiling(img, msk, 256, "slide")
+    reader = RecordReader(db)
+    try:
+        stored = {(k.decode() if isinstance(k, bytes) else k): reader.get(k)
+                  for k in reader.keys()}
+    finally:
+        reader.close()
+    # slide-to-fit can emit duplicate edge boxes (two grid columns sliding
+    # to the same start, reference geometry build_lmdb.py:99-108); the
+    # store keeps one record per key in both paths
+    assert sorted(stored) == sorted(set(keys))
+    for t, m, k in zip(tiles, mtiles, keys):
+        got_img, got_msk = deserialize_image_mask_pair(stored[k])
+        np.testing.assert_array_equal(t.reshape(got_img.shape), got_img)
+        np.testing.assert_array_equal(m, got_msk)
+
+
 def test_enforce_size_multiple():
     img = np.random.default_rng(0).random((37, 50))
     out = enforce_size_multiple(img)

@@ -80,15 +80,12 @@ def _present_classes_str(msk: np.ndarray) -> str:
     return ",".join(str(c) for c in np.unique(msk))
 
 
-def process_slide_tiling(
-    img: np.ndarray, msk: np.ndarray, tile_size: int, block_key: str
-) -> Tuple[List[np.ndarray], List[np.ndarray], List[str]]:
-    """Overlapping tile grid, stride tile_size - RADIUS, edge boxes slid
-    inward to fit (build_lmdb.py:82-126)."""
-    height, width = img.shape[0], img.shape[1]
+def tiling_boxes(height: int, width: int, tile_size: int) -> List[Tuple[int, int, int, int]]:
+    """(y_st, x_st, y_end, x_end) boxes: stride ``tile_size - RADIUS``, edge
+    boxes slid inward to fit, in the reference's column-major emission order
+    (build_lmdb.py:82-126)."""
     delta = int(tile_size - RADIUS)
-
-    img_list, msk_list, key_list = [], [], []
+    boxes = []
     for x_st in range(0, width, delta):
         for y_st in range(0, height, delta):
             x_end, y_end = x_st + tile_size, y_st + tile_size
@@ -98,13 +95,44 @@ def process_slide_tiling(
             if y_end > height:
                 y_st += height - y_end
                 y_end = height
+            boxes.append((y_st, x_st, y_end, x_end))
+    return boxes
 
-            img_tile = img[y_st:y_end, x_st:x_end]
-            msk_tile = msk[y_st:y_end, x_st:x_end]
-            img_list.append(img_tile)
-            msk_list.append(msk_tile)
-            key_list.append(f"{block_key}_i{y_st}_j{x_st}:{_present_classes_str(msk_tile)}")
+
+def process_slide_tiling(
+    img: np.ndarray, msk: np.ndarray, tile_size: int, block_key: str
+) -> Tuple[List[np.ndarray], List[np.ndarray], List[str]]:
+    """Overlapping tile grid over in-RAM arrays (build_lmdb.py:82-126)."""
+    img_list, msk_list, key_list = [], [], []
+    for y_st, x_st, y_end, x_end in tiling_boxes(img.shape[0], img.shape[1], tile_size):
+        img_tile = img[y_st:y_end, x_st:x_end]
+        msk_tile = msk[y_st:y_end, x_st:x_end]
+        img_list.append(img_tile)
+        msk_list.append(msk_tile)
+        key_list.append(f"{block_key}_i{y_st}_j{x_st}:{_present_classes_str(msk_tile)}")
     return img_list, msk_list, key_list
+
+
+def _stream_slide_tiling(writer: RecordWriter, img_path: str, msk_path: str,
+                         tile_size: int, block_key: str) -> None:
+    """Tile a whole-slide image/mask pair straight from tiled BigTIFF into
+    the record store without materializing either — the builder analog of
+    streaming inference. The reference (and the in-RAM path below) loads
+    whole images (build_lmdb.py:149-151), so slides larger than host RAM
+    could not be turned into training data at all. Keys and record contents
+    are identical to the in-RAM path (tested)."""
+    from tpuseg.utils.bigtiff import BigTiffReader
+
+    with BigTiffReader(img_path) as ir, BigTiffReader(msk_path) as mr:
+        if (ir.height, ir.width) != (mr.height, mr.width):
+            raise AssertionError(
+                "Image and Mask must be the same Height, input images should be "
+                "either HW or HWC dimension ordering")
+        for y_st, x_st, y_end, x_end in tiling_boxes(ir.height, ir.width, tile_size):
+            t = ir.read_region(y_st, x_st, y_end - y_st, x_end - x_st)
+            m = mr.read_region(y_st, x_st, y_end - y_st, x_end - x_st)[..., 0]
+            key = f"{block_key}_i{y_st}_j{x_st}:{_present_classes_str(m)}"
+            writer.put(key, serialize_image_mask_pair(t, m))
 
 
 def generate_database(
@@ -129,12 +157,26 @@ def generate_database(
 
     writer = RecordWriter(db_dir)
     try:
+        from tpuseg.utils.bigtiff import is_bigtiff
+
         for i, img_file_name in enumerate(img_list):
             print(f"  {i}/{len(img_list)}")
             block_key = os.path.splitext(img_file_name)[0]
+            img_path = os.path.join(image_filepath, img_file_name)
+            msk_path = os.path.join(mask_filepath, img_file_name)
+
+            if tile_size > 0 and is_bigtiff(img_path) and is_bigtiff(msk_path):
+                # whole-slide pair: tile straight from disk, never
+                # materializing the image (reference loads it whole,
+                # build_lmdb.py:149-151 — impossible for >RAM slides)
+                _stream_slide_tiling(writer, img_path, msk_path, tile_size, block_key)
+                continue
 
             img = imread(os.path.join(image_filepath, img_file_name))
-            msk = imread(os.path.join(mask_filepath, img_file_name)).astype(np.uint8)
+            # mask dtype is preserved (reference write_img_to_db keeps it,
+            # build_lmdb.py:51-52; README.md:19-20 allows uint8/uint16/int32
+            # masks whose class ids may exceed 255)
+            msk = imread(os.path.join(mask_filepath, img_file_name))
             assert img.shape[0] == msk.shape[0], (
                 "Image and Mask must be the same Height, input images should be "
                 "either HW or HWC dimension ordering")
