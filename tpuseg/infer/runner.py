@@ -1,7 +1,10 @@
 """Folder-level inference runner (reference ``inference.py::inference``,
-inference.py:176-227): load checkpoint, per image z-score normalize with
-whole-image statistics, dispatch single vs tiled by the 1024px threshold,
-dtype-minimize, save.
+inference.py:176-227): load checkpoint, per-image whole-image z-score
+statistics (normalization itself fuses into the device programs), dispatch
+single vs tiled by the 1024px threshold — small images batched, large
+images halo-tiled, tiled-BigTIFF slides optionally streamed — then
+dtype-minimize and save. Disk reads overlap device compute via a
+read-ahead thread; the tile grid shards over all local devices.
 """
 
 from __future__ import annotations
