@@ -108,6 +108,51 @@ def test_streamed_build_matches_in_ram_tiling(tmp_path):
         np.testing.assert_array_equal(m, got_msk)
 
 
+def test_streamed_build_falls_back_on_foreign_bigtiff(tmp_path, monkeypatch):
+    """BigTIFF dialects our reader rejects fall back to the in-RAM imread
+    path instead of aborting the database build."""
+    import numpy as np
+
+    from tpuseg.data import build_db
+    from tpuseg.data.recordstore import RecordReader
+    from tpuseg.utils import bigtiff
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 4096, (300, 280)).astype(np.uint16)
+    msk = rng.integers(0, 2, (300, 280)).astype(np.uint8)
+    imgdir, mskdir = tmp_path / "imgs", tmp_path / "msks"
+    imgdir.mkdir(), mskdir.mkdir()
+    bigtiff.write_bigtiff(str(imgdir / "s.tif"), img, tile=(128, 128))
+    bigtiff.write_bigtiff(str(mskdir / "s.tif"), msk, tile=(128, 128))
+
+    def boom(*a, **k):
+        raise IOError("BigTIFF is not tiled (strip layout unsupported)")
+
+    monkeypatch.setattr(build_db, "_stream_slide_tiling", boom)
+    db = build_db.generate_database(["s.tif"], "train-fb.lmdb", str(imgdir),
+                                    str(mskdir), str(tmp_path), tile_size=256)
+    with RecordReader(db) as r:
+        assert len(r) > 0  # built via the imread path
+
+
+def test_build_rejects_float_masks(tmp_path):
+    """Float masks would build keys like 'name:0.0,1.0' that crash the
+    class-balanced sampler much later — the builder fails fast instead."""
+    import numpy as np
+    import pytest
+
+    from tpuseg.data.build_db import generate_database
+    from tpuseg.utils.imagio import imwrite
+
+    imgdir, mskdir = tmp_path / "imgs", tmp_path / "msks"
+    imgdir.mkdir(), mskdir.mkdir()
+    imwrite(str(imgdir / "a.tif"), np.zeros((32, 32), np.uint16))
+    imwrite(str(mskdir / "a.tif"), np.zeros((32, 32), np.float32))
+    with pytest.raises(ValueError, match="integer type"):
+        generate_database(["a.tif"], "train-f.lmdb", str(imgdir), str(mskdir),
+                          str(tmp_path), tile_size=0)
+
+
 def test_enforce_size_multiple():
     img = np.random.default_rng(0).random((37, 50))
     out = enforce_size_multiple(img)

@@ -92,15 +92,41 @@ def test_evaluate_folder_streams_bigtiff_pairs(tmp_path):
     assert streamed == in_ram
 
 
-def test_evaluate_folder_rejects_out_of_range_labels(tmp_path):
-    import pytest
-
+def test_evaluate_folder_excludes_void_labels(tmp_path):
+    """Labels outside [0, num_classes) (e.g. the 255 void convention) are
+    excluded from the counts — the same semantics one-hot encoding gives
+    the on-device confusion matrix."""
     from tpuseg.ops.metrics import evaluate_folder
     from tpuseg.utils.imagio import imwrite
 
     (tmp_path / "pred").mkdir()
     (tmp_path / "true").mkdir()
-    imwrite(str(tmp_path / "pred" / "m.tif"), np.full((16, 16), 5, np.uint8))
-    imwrite(str(tmp_path / "true" / "m.tif"), np.zeros((16, 16), np.uint8))
-    with pytest.raises(ValueError, match="outside"):
-        evaluate_folder(str(tmp_path / "pred"), str(tmp_path / "true"), 2)
+    t = np.zeros((16, 16), np.uint8)
+    t[:8] = 255  # void half
+    p = np.zeros((16, 16), np.uint8)
+    p[:8] = 1  # predictions on void pixels must not count
+    imwrite(str(tmp_path / "pred" / "m.tif"), p)
+    imwrite(str(tmp_path / "true" / "m.tif"), t)
+    res = evaluate_folder(str(tmp_path / "pred"), str(tmp_path / "true"), 2)
+    assert res["pixel_accuracy"] == 1.0  # only the labeled half scored
+
+
+def test_evaluate_folder_falls_back_on_foreign_bigtiff(tmp_path, monkeypatch):
+    """BigTIFF dialects our reader rejects (strip layout, LZW, ...) fall
+    back to imread instead of aborting the evaluation."""
+    from tpuseg.ops import metrics
+    from tpuseg.utils import bigtiff
+
+    rng = np.random.default_rng(5)
+    t = rng.integers(0, 2, (40, 40)).astype(np.uint8)
+    (tmp_path / "pred").mkdir()
+    (tmp_path / "true").mkdir()
+    bigtiff.write_bigtiff(str(tmp_path / "pred" / "m.tif"), t, tile=(16, 16))
+    bigtiff.write_bigtiff(str(tmp_path / "true" / "m.tif"), t, tile=(16, 16))
+
+    def boom(*a, **k):
+        raise IOError("unsupported compression 5")
+
+    monkeypatch.setattr(metrics, "_stream_confusion", boom)
+    res = metrics.evaluate_folder(str(tmp_path / "pred"), str(tmp_path / "true"), 2)
+    assert res["pixel_accuracy"] == 1.0 and res["num_images"] == 1

@@ -128,11 +128,25 @@ def _stream_slide_tiling(writer: RecordWriter, img_path: str, msk_path: str,
             raise AssertionError(
                 "Image and Mask must be the same Height, input images should be "
                 "either HW or HWC dimension ordering")
+        if mr.channels != 1:
+            raise ValueError(
+                f"mask must be grayscale, got {mr.channels} channels: {msk_path}")
+        _check_mask_dtype(mr.dtype, msk_path)
         for y_st, x_st, y_end, x_end in tiling_boxes(ir.height, ir.width, tile_size):
             t = ir.read_region(y_st, x_st, y_end - y_st, x_end - x_st)
             m = mr.read_region(y_st, x_st, y_end - y_st, x_end - x_st)[..., 0]
             key = f"{block_key}_i{y_st}_j{x_st}:{_present_classes_str(m)}"
             writer.put(key, serialize_image_mask_pair(t, m))
+
+
+def _check_mask_dtype(dtype, msk_path: str) -> None:
+    """Masks must be integer class ids (README.md:19-20: uint8/uint16/int32).
+    Float masks would build keys like 'name:0.0,1.0' that crash the
+    class-balanced sampler much later — fail fast at build time instead."""
+    if np.dtype(dtype).kind not in "iu":
+        raise ValueError(
+            f"mask dtype must be an integer type (uint8/uint16/int32), got "
+            f"{np.dtype(dtype)}: {msk_path}")
 
 
 def generate_database(
@@ -169,14 +183,22 @@ def generate_database(
                 # whole-slide pair: tile straight from disk, never
                 # materializing the image (reference loads it whole,
                 # build_lmdb.py:149-151 — impossible for >RAM slides)
-                _stream_slide_tiling(writer, img_path, msk_path, tile_size, block_key)
-                continue
+                try:
+                    _stream_slide_tiling(writer, img_path, msk_path,
+                                         tile_size, block_key)
+                    continue
+                except IOError:
+                    # foreign BigTIFF dialect (strip layout, LZW, ...):
+                    # fall back to the in-RAM path, whose imread fallbacks
+                    # (imageio/cv2 libtiff) handle those files
+                    pass
 
             img = imread(os.path.join(image_filepath, img_file_name))
             # mask dtype is preserved (reference write_img_to_db keeps it,
             # build_lmdb.py:51-52; README.md:19-20 allows uint8/uint16/int32
             # masks whose class ids may exceed 255)
             msk = imread(os.path.join(mask_filepath, img_file_name))
+            _check_mask_dtype(msk.dtype, msk_path)
             assert img.shape[0] == msk.shape[0], (
                 "Image and Mask must be the same Height, input images should be "
                 "either HW or HWC dimension ordering")

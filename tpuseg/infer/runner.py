@@ -84,7 +84,7 @@ def _inference_streaming(cfg: InferenceConfig, model, variables, predict_fn,
         _, slide_name = os.path.split(img_filepath)
         print(f"{i}/{len(img_filepath_list)} : {slide_name}")
         out_check = os.path.join(cfg.output_folder, slide_name)
-        if os.path.abspath(out_check) == os.path.abspath(img_filepath):
+        if os.path.realpath(out_check) == os.path.realpath(img_filepath):
             # unlike the in-RAM path (read completes before write), the
             # streaming writer would truncate the slide the reader is
             # still lazily reading regions from

@@ -84,6 +84,9 @@ def _mesh_size(mesh) -> int:
     return 1 if mesh is None else int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
 
+_PROGRAMS_PER_MODEL = 64  # compiled-geometry LRU bound per predict_fn
+
+
 def _cached_program(predict_fn, key, build):
     """Per-predict_fn program cache, stored ON the predict_fn object: each
     geometry traces once per model (re-tracing the big stitch program costs
@@ -99,9 +102,15 @@ def _cached_program(predict_fn, key, build):
             predict_fn._tpuseg_programs = cache = {}
         except AttributeError:  # exotic callable without __dict__
             return build()
-    if key not in cache:
-        cache[key] = build()
-    return cache[key]
+    prog = cache.pop(key, None)
+    if prog is None:
+        prog = build()
+        # bound the per-model cache (folders of many distinct geometries):
+        # insertion-ordered LRU, like BigTiffReader's tile cache
+        while len(cache) >= _PROGRAMS_PER_MODEL:
+            cache.pop(next(iter(cache)))
+    cache[key] = prog  # (re-)insert as most recent
+    return prog
 
 
 def _single_batch_program(predict_fn, batch: int, mesh=None):

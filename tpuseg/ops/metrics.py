@@ -57,26 +57,33 @@ def segmentation_metrics(logits_or_pred: jax.Array, labels: jax.Array,
 
 def _bincount_cm(pred, true, num_classes):
     """Exact integer confusion counts on host (rows = truth, cols = pred) —
-    the streaming accumulator; identical counts to :func:`confusion_matrix`."""
+    the streaming accumulator; identical counts to :func:`confusion_matrix`,
+    including its semantics for labels outside [0, num_classes): such pixels
+    (e.g. the common 255 void/ignore convention) are excluded from the
+    counts, exactly as one-hot encoding drops them."""
     import numpy as np
 
     p = np.asarray(pred).ravel().astype(np.int64)
     t = np.asarray(true).ravel().astype(np.int64)
-    if p.min(initial=0) < 0 or t.min(initial=0) < 0 or \
-            p.max(initial=0) >= num_classes or t.max(initial=0) >= num_classes:
-        raise ValueError(
-            f"mask labels outside [0, {num_classes}) — wrong --number_classes?")
+    valid = (p >= 0) & (p < num_classes) & (t >= 0) & (t < num_classes)
+    if not valid.all():
+        p, t = p[valid], t[valid]
     return np.bincount(t * num_classes + p,
                        minlength=num_classes * num_classes
                        ).reshape(num_classes, num_classes)
 
 
-def _stream_confusion(pred_fp: str, truth_fp: str, num_classes: int, cm_total) -> None:
-    """Accumulate the confusion matrix tile-by-tile from two tiled BigTIFFs
-    without materializing either mask — scores whole-slide masks larger than
-    host RAM (the streaming inference path's output)."""
+def _stream_confusion(pred_fp: str, truth_fp: str, num_classes: int):
+    """Confusion matrix of one mask pair, accumulated tile-by-tile from two
+    tiled BigTIFFs without materializing either — scores whole-slide masks
+    larger than host RAM (the streaming inference path's output). Returns
+    the file's counts (accumulated locally so a mid-file failure leaves the
+    caller's total untouched)."""
+    import numpy as np
+
     from tpuseg.utils.bigtiff import BigTiffReader
 
+    cm = np.zeros((num_classes, num_classes), np.float64)
     with BigTiffReader(pred_fp, tile_cache=1) as pr, \
             BigTiffReader(truth_fp, tile_cache=1) as tr:
         if (pr.height, pr.width) != (tr.height, tr.width):
@@ -88,8 +95,9 @@ def _stream_confusion(pred_fp: str, truth_fp: str, num_classes: int, cm_total) -
                 y0, x0 = ty * th, tx * tw
                 h = min(th, pr.height - y0)
                 w = min(tw, pr.width - x0)
-                cm_total += _bincount_cm(pr.read_region(y0, x0, h, w),
-                                         tr.read_region(y0, x0, h, w), num_classes)
+                cm += _bincount_cm(pr.read_region(y0, x0, h, w),
+                                   tr.read_region(y0, x0, h, w), num_classes)
+    return cm
 
 
 def evaluate_folder(pred_folder: str, truth_folder: str, num_classes: int) -> Dict[str, float]:
@@ -114,8 +122,13 @@ def evaluate_folder(pred_folder: str, truth_folder: str, num_classes: int) -> Di
         pred_fp = os.path.join(pred_folder, fn)
         truth_fp = os.path.join(truth_folder, fn)
         if is_bigtiff(pred_fp) and is_bigtiff(truth_fp):
-            _stream_confusion(pred_fp, truth_fp, num_classes, cm_total)
-            continue
+            try:
+                cm_total += _stream_confusion(pred_fp, truth_fp, num_classes)
+                continue
+            except IOError:
+                # foreign BigTIFF dialect (strip layout, LZW, ...): fall
+                # back to imread, whose imageio/cv2 backends handle those
+                pass
         pred = np.asarray(imread(pred_fp)).astype(np.int32)
         true = np.asarray(imread(truth_fp)).astype(np.int32)
         cm_total += _bincount_cm(pred, true, num_classes)

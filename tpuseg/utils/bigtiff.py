@@ -135,6 +135,9 @@ class BigTiffReader:
                 return default
             return int(_tag_array(f, tags[tag])[0])
 
+        if any(t not in tags for t in (_TILE_WIDTH, _TILE_LENGTH,
+                                       _TILE_OFFSETS, _TILE_BYTE_COUNTS)):
+            raise IOError(f"BigTIFF is not tiled (strip layout unsupported): {fp}")
         self.width, self.height = scalar(_IMAGE_WIDTH), scalar(_IMAGE_LENGTH)
         bits = scalar(_BITS_PER_SAMPLE, 8)
         self._comp = scalar(_COMPRESSION, 1)
@@ -146,8 +149,6 @@ class BigTiffReader:
             raise IOError(f"unsupported sample format {(fmt, bits)}: {fp}")
         if self._comp not in (1, 8):
             raise IOError(f"unsupported compression {self._comp}: {fp}")
-        if _TILE_OFFSETS not in tags or _TILE_BYTE_COUNTS not in tags:
-            raise IOError(f"BigTIFF is not tiled (strip layout unsupported): {fp}")
         self._offsets = _tag_array(f, tags[_TILE_OFFSETS])
         self._counts = _tag_array(f, tags[_TILE_BYTE_COUNTS])
         self.tiles_across = -(-self.width // self.tile_width)
