@@ -121,6 +121,38 @@ def test_train_model_profile_steps(dbs, tmp_path, profile_steps):
     assert traces, f"no profiler trace written under {out}/profile"
 
 
+def test_train_steps_deterministic_under_seed(dbs):
+    """Given the same seed and the same sample order, the fused
+    augment+train step is bit-deterministic (init, dropout, and device-side
+    augmentation RNG all derive from the seed). Full train_model runs with
+    multiple reader workers are order-nondeterministic by design — the
+    bounded queue interleaves workers racily, exactly like the reference's
+    multiprocess readers (imagereader.py:175-186)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.data.reader import ImageReader
+    from tpuseg.models.unet import UNet
+    from tpuseg.train.steps import create_train_state, make_jitted_raw_steps
+
+    train_db, _ = dbs
+    with ImageReader(train_db, raw_mode=True, shuffle=True, num_workers=1,
+                     number_classes=2, seed=7) as r:
+        batches = [next(r.batches(2)) for _ in range(3)]
+
+    losses = []
+    for _ in range(2):
+        model = UNet(num_classes=2, base_features=2, dtype=jnp.float32)
+        state = create_train_state(model, jax.random.PRNGKey(123), 1, 1e-3)
+        tstep, _ = make_jitted_raw_steps(model, num_classes=2, augment=True)
+        run = []
+        for imgs, msks in batches:
+            state, m = tstep(state, jnp.asarray(imgs), jnp.asarray(msks))
+            run.append(float(m["loss"]))
+        losses.append(run)
+    assert losses[0] == losses[1]
+
+
 def test_checkpoint_roundtrip(dbs, tmp_path):
     import jax
     import jax.numpy as jnp
