@@ -110,6 +110,36 @@ def test_incremental_writer_roundtrip_and_guards(tmp_path):
         w2.close()
 
 
+def test_randomized_roundtrip_sweep(tmp_path):
+    """Property sweep: random geometry x dtype x channels x compression,
+    including 1-pixel edge remainders and exact-tile-multiple shapes."""
+    rng = np.random.default_rng(8)
+    cases = [
+        ((64, 64), np.uint8, "deflate"),      # exactly one tile
+        ((65, 64), np.uint16, "deflate"),     # 1-row remainder
+        ((64, 65), np.int32, "none"),         # 1-col remainder
+        ((1, 1), np.uint8, "deflate"),        # degenerate
+        ((128, 192), np.uint16, "none"),      # exact multi-tile
+        ((130, 70, 3), np.uint8, "deflate"),  # multichannel remainder
+    ]
+    for i, (shape, dtype, comp) in enumerate(cases):
+        if np.issubdtype(dtype, np.integer):
+            img = rng.integers(0, np.iinfo(dtype).max, size=shape).astype(dtype)
+        else:
+            img = rng.random(shape).astype(dtype)
+        fp = str(tmp_path / f"r{i}.tif")
+        bigtiff.write_bigtiff(fp, img, tile=(64, 64), compression=comp)
+        out = bigtiff.read_bigtiff(fp)
+        np.testing.assert_array_equal(out, img)
+        with bigtiff.BigTiffReader(fp) as r:
+            h, w = shape[0], shape[1]
+            y = int(rng.integers(0, h)); x = int(rng.integers(0, w))
+            rh = int(rng.integers(1, h - y + 1)); rw = int(rng.integers(1, w - x + 1))
+            region = r.read_region(y, x, rh, rw)
+            want = img[y:y + rh, x:x + rw].reshape(rh, rw, -1)
+            np.testing.assert_array_equal(region, want)
+
+
 def test_third_party_reader_can_open_ours(tmp_path):
     """Cross-validate the format against an independent TIFF stack (cv2's
     libtiff) when available — guards against private-dialect files."""
