@@ -147,15 +147,28 @@ void* tsr_reader_open(const char* path) {
   std::memcpy(&count, p + 8, 8);
   std::memcpy(&index_offset, p + 16, 8);
 
+  // Header sanity against corruption: every index entry is >= 20 bytes, the
+  // index must lie inside the file, and counts beyond what could possibly
+  // fit mean garbage (a corrupt count used to reach vector::reserve, whose
+  // std::length_error would escape the C ABI and terminate the process).
+  const uint64_t size = static_cast<uint64_t>(st.st_size);
+  if (index_offset < kHeaderSize || index_offset > size ||
+      count > (size - index_offset) / 20) {
+    munmap(base, st.st_size);
+    ::close(fd);
+    return nullptr;
+  }
+
   Reader* r = new Reader();
   r->fd = fd;
   r->base = p;
-  r->size = st.st_size;
+  r->size = size;
   r->index.reserve(count);
   r->by_key.reserve(count);
   uint64_t pos = index_offset;
   for (uint64_t i = 0; i < count; ++i) {
-    if (pos + 20 > r->size) {  // truncated index
+    // overflow-safe bounds checks (pos + n could wrap for corrupt values)
+    if (pos > r->size || r->size - pos < 20) {  // truncated index
       munmap(base, st.st_size);
       ::close(fd);
       delete r;
@@ -167,7 +180,8 @@ void* tsr_reader_open(const char* path) {
     std::memcpy(&off, p + pos + 4, 8);
     std::memcpy(&len, p + pos + 12, 8);
     pos += 20;
-    if (pos + kl > r->size) {
+    if (r->size - pos < kl ||
+        off > r->size || r->size - off < len) {  // corrupt entry
       munmap(base, st.st_size);
       ::close(fd);
       delete r;
@@ -201,7 +215,7 @@ int tsr_reader_get(void* handle, const char* key, uint32_t key_len,
   auto it = r->by_key.find(std::string(key, key_len));
   if (it == r->by_key.end()) return -1;
   const IndexEntry& e = r->index[it->second];
-  if (e.offset + e.length > r->size) return -1;
+  if (e.offset > r->size || r->size - e.offset < e.length) return -1;
   *val = reinterpret_cast<const char*>(r->base + e.offset);
   *val_len = e.length;
   return 0;
@@ -213,7 +227,7 @@ int tsr_reader_get_at(void* handle, uint64_t i, const char** val, uint64_t* val_
   Reader* r = static_cast<Reader*>(handle);
   if (!r || i >= r->index.size()) return -1;
   const IndexEntry& e = r->index[i];
-  if (e.offset + e.length > r->size) return -1;
+  if (e.offset > r->size || r->size - e.offset < e.length) return -1;
   *val = reinterpret_cast<const char*>(r->base + e.offset);
   *val_len = e.length;
   return 0;

@@ -68,3 +68,31 @@ def test_large_values(tmp_path):
     r = RecordReader(db)
     assert r.get(b"k") == big
     r.close()
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+@pytest.mark.parametrize("corruption", ["header", "truncate", "index_entry"])
+def test_corrupt_store_raises_cleanly(tmp_path, use_native, corruption):
+    """Corrupted databases must raise IOError, never crash the process —
+    a corrupt count used to reach the native vector::reserve, whose
+    std::length_error escaped the C ABI and aborted the whole trainer."""
+    import os
+
+    if use_native and load_native() is None:
+        pytest.skip("native library unavailable")
+    db = str(tmp_path / f"c-{use_native}-{corruption}.lmdb")
+    _fill(db, use_native)
+    path = os.path.join(db, "data.tsr")
+    data = bytearray(open(path, "rb").read())
+    if corruption == "header":
+        for i in range(8, 24):
+            data[i] = 0xFF
+    elif corruption == "truncate":
+        data = data[: len(data) // 2]
+    else:  # index_entry: clobber the index region
+        _, count, index_offset = __import__("struct").unpack_from("<8sQQ", data, 0)
+        for i in range(index_offset, min(index_offset + 20, len(data))):
+            data[i] = 0xFF
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(IOError):
+        RecordReader(db, use_native=use_native)

@@ -177,13 +177,23 @@ class RecordReader:
             magic, count, index_offset = _HEADER.unpack_from(self._mm, 0)
             if magic != _MAGIC:
                 raise IOError(f"tsrstore: bad magic in {path}")
+            # corruption sanity, mirroring the native reader: the index must
+            # lie inside the file and each entry is >= _IDX.size bytes
+            size = len(self._mm)
+            if (index_offset < _HEADER.size or index_offset > size
+                    or count > (size - index_offset) // _IDX.size):
+                raise IOError(f"tsrstore: corrupt header in {path}")
             self._count = count
             self._index = []
             self._by_key = {}
             pos = index_offset
             for i in range(count):
+                if size - pos < _IDX.size:
+                    raise IOError(f"tsrstore: truncated index in {path}")
                 kl, off, length = _IDX.unpack_from(self._mm, pos)
                 pos += _IDX.size
+                if size - pos < kl or off > size or size - off < length:
+                    raise IOError(f"tsrstore: corrupt index entry in {path}")
                 key = bytes(self._mm[pos:pos + kl])
                 pos += kl
                 self._index.append((key, off, length))
