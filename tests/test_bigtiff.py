@@ -152,3 +152,24 @@ def test_third_party_reader_can_open_ours(tmp_path):
     if out is None:
         pytest.skip("cv2/libtiff build lacks BigTIFF support")
     np.testing.assert_array_equal(out, img)
+
+
+def test_reader_raises_ioerror_on_fuzzed_files(tmp_path):
+    """Any malformed-but-magic-valid file raises IOError (so build/evaluate
+    imread fallbacks engage), never struct.error/KeyError or a crash."""
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 65535, (80, 90)).astype(np.uint16)
+    fp = str(tmp_path / "f.tif")
+    bigtiff.write_bigtiff(fp, base, tile=(64, 64))
+    good = open(fp, "rb").read()
+    for trial in range(30):
+        data = bytearray(good)
+        for _ in range(8):  # flip a handful of bytes past the magic
+            data[int(rng.integers(8, len(data)))] = int(rng.integers(0, 256))
+        open(fp, "wb").write(bytes(data))
+        try:
+            with bigtiff.BigTiffReader(fp) as r:
+                r.read_region(0, 0, r.height, r.width)
+        except (IOError, Exception) as e:
+            assert isinstance(e, (IOError, ValueError)) or "zlib" in type(e).__module__, \
+                f"unexpected {type(e)} on trial {trial}: {e}"

@@ -114,8 +114,15 @@ class BigTiffReader:
         self._f = open(fp, "rb")
         try:
             self._parse_header(fp)
-        except BaseException:
+        except IOError:
             self._f.close()
+            raise
+        except BaseException as e:
+            # malformed structures surface as struct.error / KeyError etc. —
+            # normalize to IOError so callers' imread fallbacks engage
+            self._f.close()
+            if isinstance(e, Exception):
+                raise IOError(f"malformed BigTIFF {fp}: {e}") from e
             raise
         self._cache: "Dict[int, np.ndarray]" = {}  # insertion-ordered LRU
         self._cache_max = tile_cache
