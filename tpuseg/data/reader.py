@@ -12,8 +12,18 @@ Sampling policies (imagereader.py:209-243):
 - shuffle + balance_classes: uniform class draw (re-drawn while a class has
   no examples), then uniform member of that class;
 - shuffle only: uniform over all keys;
-- no shuffle: deterministic worker-strided walk, ``key_idx += num_workers
-  (mod N)`` starting at the worker id — same interleave as the reference.
+- no shuffle: deterministic worker-strided walk, ``key_idx += total_workers
+  (mod N)`` starting at the worker's *global* id — the reference's
+  worker-level interleave (imagereader.py:239-241) generalized to hosts:
+  worker w on host p starts at ``p*num_workers + w`` and strides by
+  ``num_workers * process_count``, so the fleet partitions the key space
+  across every worker of every host.
+
+Multi-host: pass ``process_index``/``process_count`` (the trainer wires
+``jax.process_index()``/``jax.process_count()``). Worker RNG seeds fold in
+the global worker id, so seeded shuffled streams differ across hosts —
+without this every host would draw the identical sample sequence and the
+global batch would contain each sample ``process_count`` times.
 
 Augmentation severities are constructor parameters (promoted from the
 reference's hard-coded class attributes, imagereader.py:79-85; README.md:176-189
@@ -66,6 +76,8 @@ class ImageReader:
         raw_mode: bool = False,
         layout: str = "nchw",  # reference contract; "nhwc" for the TPU path
         seed: Optional[int] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.image_db = img_db
         self.use_augmentation = use_augmentation
@@ -79,6 +91,12 @@ class ImageReader:
             raise ValueError(f"layout must be 'nchw' or 'nhwc', got {layout}")
         self.layout = layout
         self.seed = seed
+        if not (0 <= process_index < process_count):
+            raise ValueError(
+                f"process_index {process_index} out of range for "
+                f"process_count {process_count}")
+        self.process_index = process_index
+        self.process_count = process_count
 
         self.queue_starvation = False
         self.maxOutQSize = num_workers * queue_depth_per_worker
@@ -216,8 +234,24 @@ class ImageReader:
                 return self._key_pos[key]
             return rng.randint(0, len(self.keys_flat) - 1)
         idx = self.key_idx
-        self.key_idx = (self.key_idx + self.nb_workers) % len(self.keys_flat)
+        total_workers = self.nb_workers * self.process_count
+        self.key_idx = (self.key_idx + total_workers) % len(self.keys_flat)
         return idx
+
+    def _init_worker_sampling(self, worker_id: int):
+        """Per-worker sampling state: the global stride start and the RNGs.
+
+        The global worker id ``process_index*nb_workers + worker_id`` drives
+        both the no-shuffle interleave (the host-level generalization of the
+        reference's worker-strided walk, imagereader.py:239-241) and the
+        seeded RNG streams, so no two workers anywhere in a multi-host fleet
+        share a stream. Returns ``(rng, nprng)``; sets ``self.key_idx``."""
+        global_worker_id = self.process_index * self.nb_workers + worker_id
+        # wrapped so more workers than records is safe (the reference indexes
+        # keys_flat[worker_id] raw, imagereader.py:247, and crashes there)
+        self.key_idx = global_worker_id % len(self.keys_flat)
+        seed = None if self.seed is None else self.seed + global_worker_id
+        return random.Random(seed), np.random.default_rng(seed)
 
     @property
     def _key_pos(self):
@@ -232,14 +266,9 @@ class ImageReader:
     def _image_loader(self) -> None:
         termination = False
         worker_id = self.idQ.get()
-        # stride start for the no-shuffle walk; wrapped so more workers than
-        # records is safe (the reference indexes keys_flat[worker_id] raw,
-        # imagereader.py:247, and crashes in that configuration)
-        self.key_idx = worker_id % len(self.keys_flat)
+        rng, nprng = self._init_worker_sampling(worker_id)
         try:
             store = RecordReader(self.image_db)  # own zero-copy view per process
-            rng = random.Random(None if self.seed is None else self.seed + worker_id)
-            nprng = np.random.default_rng(None if self.seed is None else self.seed + worker_id)
             ap = self.augment_params
 
             while not termination:

@@ -136,12 +136,17 @@ def train_model(config: TrainConfig) -> TrainResult:
           f"global_batch_size = {global_batch_size}")
 
     raw = cfg.device_augment
+    # host identity into both readers: seeded shuffled streams diverge per
+    # host and the no-shuffle strided walk partitions keys across the fleet
+    # (without it every host would feed the identical sample stream)
+    host_kw = dict(process_index=jax.process_index(),
+                   process_count=jax.process_count())
     print("Setting up test image reader")
     test_reader = ImageReader(
         cfg.test_database, use_augmentation=False, shuffle=False,
         num_workers=reader_count, balance_classes=False,
         number_classes=cfg.number_classes, layout="nhwc", seed=cfg.seed,
-        raw_mode=raw)
+        raw_mode=raw, **host_kw)
     print(f"Test Reader has {test_reader.get_image_count()} images")
 
     print("Setting up training image reader")
@@ -150,7 +155,7 @@ def train_model(config: TrainConfig) -> TrainResult:
         use_augmentation=cfg.use_augmentation and not raw, shuffle=True,
         num_workers=reader_count, balance_classes=cfg.balance_classes,
         number_classes=cfg.number_classes, layout="nhwc", seed=cfg.seed,
-        augment_params=cfg.augment_params, raw_mode=raw)
+        augment_params=cfg.augment_params, raw_mode=raw, **host_kw)
     print(f"Train Reader has {train_reader.get_image_count()} images")
 
     number_channels = train_reader.get_image_size()[2]
