@@ -158,3 +158,79 @@ def test_raw_steps_zero1_sharding():
 
     ev = estep_s(new_s, pimg, pmsk)
     assert np.isfinite(float(ev["loss"]))
+
+
+# --- BatchNorm cross-replica (sync-BN) semantics, pinned (VERDICT r2 item 2).
+# tpuseg intentionally diverges from the reference here: MirroredStrategy
+# replicates the graph so each GPU normalizes over its LOCAL shard only
+# (/root/reference/UNet/train.py:57 + model.py:36); GSPMD computes BN batch
+# statistics over the GLOBAL batch (sync-BN). See models/unet.py docstring.
+
+
+def test_batchnorm_stats_are_global_batch(monkeypatch):
+    """Sharded-batch BN statistics == full-batch single-device statistics:
+    the numerical definition of sync-BN. (Per-replica BN would give each
+    shard its own mean/var and a different EMA update.)"""
+    model = UNet(num_classes=2, base_features=2, dtype=jnp.float32)
+    mesh = mesh_lib.make_mesh()
+    img, lbl = _toy_batch(7, n=8)
+
+    state = create_train_state(model, jax.random.PRNGKey(2), 1, 1e-2)
+    pstate = mesh_lib.replicate_state(
+        create_train_state(model, jax.random.PRNGKey(2), 1, 1e-2), mesh)
+    ptstep, _ = mesh_lib.make_parallel_steps(model, mesh)
+    ststep, _ = make_jitted_steps(model)
+
+    pimg, plbl = mesh_lib.shard_batch(mesh, img, lbl)
+    new_p, _ = ptstep(pstate, pimg, plbl)
+    new_s, _ = ststep(state, img, lbl)
+
+    flat_p = jax.tree_util.tree_leaves_with_path(new_p.batch_stats)
+    flat_s = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(new_s.batch_stats)}
+    assert flat_p and len(flat_p) == len(flat_s)
+    for k, v in flat_p:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_s[jax.tree_util.keystr(k)]),
+            atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
+def test_batchnorm_sync_collectives_in_compiled_step():
+    """Every one of the 23 BN layers inserts a forward batch-stat all-reduce
+    in the compiled sharded train step — the collective cost sync-BN pays
+    (priced in BASELINE.md: ~55 KB/step, noise next to the ~MB-scale
+    gradient reduction)."""
+    import functools
+    import re
+
+    from tpuseg.train import steps as steps_lib
+
+    model = UNet(num_classes=2, base_features=2, dtype=jnp.float32)
+    mesh = mesh_lib.make_mesh()
+    state = mesh_lib.replicate_state(
+        create_train_state(model, jax.random.PRNGKey(0), 1, 1e-3), mesh)
+    img, lbl = _toy_batch(0, n=8)
+    pimg, plbl = mesh_lib.shard_batch(mesh, img, lbl)
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.batch_sharding(mesh)
+    compiled = jax.jit(
+        functools.partial(steps_lib.train_step, model, steps_lib.make_optimizer()),
+        in_shardings=(repl, data, data), out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    ).lower(state, pimg, plbl).compile()
+    txt = compiled.as_text()
+
+    defs = [l for l in txt.splitlines() if re.search(r"= .*all-reduce\(", l)]
+    # forward batch-stat all-reduces: BN-attributed, not in the transpose
+    # (backward) computation
+    fwd_bn = [l for l in defs if "/bn/" in l and "transpose" not in l]
+    layers = {m.group(1) for l in fwd_bn
+              for m in [re.search(r"/([A-Za-z0-9_]+)/bn/", l)] if m}
+    expected = (
+        {f"enc{i}{s}" for i in range(1, 5) for s in "ab"}
+        | {"bottlenecka", "bottleneckb"}
+        | {f"dec{i}{s}" for i in range(1, 5) for s in "ab"}
+        | {f"dec{i}up" for i in range(1, 5)}
+        | {"head"}
+    )
+    assert layers == expected, f"missing BN stat sync for {expected - layers}"

@@ -24,6 +24,31 @@ Parity-critical quirks reproduced exactly (see SURVEY.md §2.2):
   "logits" receive ReLU **and** BatchNorm before softmax (model.py:136);
 - BatchNorm uses the Keras defaults momentum=0.99, epsilon=1e-3;
 - kernels init with glorot_uniform / zero bias (Keras Conv2D defaults).
+
+**Intentional divergence — BatchNorm is sync-BN under data parallelism.**
+The reference's MirroredStrategy replicates the graph per GPU, so each
+replica computes BN batch statistics over its *local* shard only
+(train.py:57 + model.py:36: plain Keras BatchNormalization, not
+SyncBatchNormalization). tpuseg shards the batch with GSPMD, so every
+``nn.BatchNorm`` reduces over the *global* batch — cross-replica (sync)
+batch norm. This is a deliberate commitment, not an accident:
+
+- statistically it is strictly better (stats over N*B samples instead of
+  B; at the reference's own per-GPU batch of 8, local stats are noisy);
+- single-device runs are bit-identical between the two semantics, so all
+  parity tests are unaffected;
+- the collective cost is priced and negligible: each of the 23 BN layers
+  all-reduces 2 per-channel f32 vectors in the forward (~55 KB/step total
+  for the base-64 model — about 0.04% of the ~124 MB gradient all-reduce)
+  plus the matching backward cotangent reductions (~107 KB/step overall).
+  Measured numbers and the byte model live in BASELINE.md; the semantics
+  and per-layer collective presence are pinned by
+  tests/test_parallel.py::test_batchnorm_stats_are_global_batch and
+  ::test_batchnorm_sync_collectives_in_compiled_step.
+
+A per-replica-BN parity mode is deliberately not offered: it would require
+shard_map-wrapping every BN to hide the batch axis from GSPMD, and the only
+thing it would reproduce is the reference's noisier statistics.
 """
 
 from __future__ import annotations
