@@ -155,7 +155,20 @@ class RecordReader:
 
     Safe to open independently in each reader process (the mmap pages are
     shared through the page cache, like the reference's LMDB readers).
+
+    Databases built by the *reference* (real LMDB files, imagereader.py:120)
+    are auto-detected and served through :class:`LmdbRecordReader` — the
+    same interface over the pure-Python LMDB parser (lmdb_compat.py), so
+    reference deployments can bring their data unconverted.
     """
+
+    def __new__(cls, db_dir: str, use_native: bool = True):
+        if cls is RecordReader and not os.path.exists(_data_path(db_dir)):
+            from tpuseg.data import lmdb_compat
+
+            if lmdb_compat.lmdb_data_path(db_dir) is not None:
+                return super().__new__(LmdbRecordReader)
+        return super().__new__(cls)
 
     def __init__(self, db_dir: str, use_native: bool = True):
         path = _data_path(db_dir)
@@ -261,3 +274,37 @@ class RecordReader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class LmdbRecordReader(RecordReader):
+    """RecordReader interface over a *reference-built* LMDB database.
+
+    Instantiated transparently by ``RecordReader(db)`` when the directory
+    holds ``data.mdb`` instead of ``data.tsr`` (or by passing an
+    ``MDB_NOSUBDIR`` single data file) — the dataset-interop path
+    (imagereader.py:120). Keys come back in LMDB's sorted cursor order,
+    the same contract tsrstore's sorted index provides."""
+
+    def __init__(self, db_dir: str, use_native: bool = True):
+        from tpuseg.data import lmdb_compat
+
+        self._r = lmdb_compat.LmdbReader(db_dir)
+        self._count = len(self._r)
+
+    def __len__(self) -> int:
+        return self._count
+
+    def keys(self) -> List[bytes]:
+        return self._r.keys()
+
+    def get(self, key) -> bytes:
+        return self._r.get(key)
+
+    def get_at(self, i: int) -> bytes:
+        return self._r.get_at(i)
+
+    def __iter__(self) -> Iterator[bytes]:
+        return iter(self._r)
+
+    def close(self) -> None:
+        self._r.close()
