@@ -214,3 +214,21 @@ def test_trainer_wires_host_identity_into_readers(dbs, tmp_path, monkeypatch):
     for kw in seen:
         assert kw["process_index"] == 1
         assert kw["process_count"] == 2
+
+
+def test_train_model_log_cadence(dbs, tmp_path, capsys):
+    """--log_every_n_steps: metrics accumulate on device and only window
+    edges print; the loop still produces artifacts and finite results."""
+    train_db, test_db = dbs
+    out = str(tmp_path / "cadence")
+    cfg = TrainConfig(
+        train_database=train_db, test_database=test_db, output_folder=out,
+        batch_size=1, test_every_n_steps=6, early_stopping_count=1,
+        use_augmentation=False, max_epochs=1, dtype="float32",
+        base_features=2, seed=0, log_every_n_steps=4)
+    result = train_model(cfg)
+    assert np.isfinite(result.final_train_loss)
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("Train Epoch 0: Batch ")]
+    # 7 steps (size+1) at cadence 4 -> syncs at steps 3 and 6 (epoch end)
+    assert [l.split(":")[1].strip() for l in lines] == ["Batch 3/6", "Batch 6/6"]

@@ -65,6 +65,11 @@ def main(argv=None):
                         help="capture a jax.profiler device trace of the first N "
                              "steady-state steps into <output>/profile "
                              "(tpuseg extension; 0 disables)")
+    parser.add_argument("--log_every_n_steps", dest="log_every_n_steps", type=int, default=1,
+                        help="read/print/log train metrics every N steps; metrics "
+                             "accumulate on device between reads and the window mean "
+                             "is logged. 1 = reference-parity per-step prints "
+                             "(tpuseg extension)")
     parser.add_argument("--multihost", dest="multihost", type=int, default=0,
                         help="initialize jax.distributed for multi-host (DCN) training; "
                              "run once per TPU host, coordinator auto-detected on TPU "
@@ -121,6 +126,7 @@ def main(argv=None):
         resume_checkpoint=args.resume_checkpoint,
         shard_optimizer=bool(args.shard_optimizer),
         profile_steps=args.profile_steps,
+        log_every_n_steps=args.log_every_n_steps,
         augment_params=augment_params,
     )
     train_model(cfg)

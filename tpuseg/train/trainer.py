@@ -80,6 +80,14 @@ class TrainConfig:
     # <output_folder>/profile — opens in TensorBoard's profile plugin /
     # Perfetto (tpuseg extension; 0 disables)
     profile_steps: int = 0
+    # read/print/TB-log train metrics every N steps instead of every step.
+    # The reference prints per step (train.py:143-145) and that stays the
+    # default (1) — but each print forces a device->host scalar readback
+    # that serializes the step stream against host latency. With N>1,
+    # loss/accuracy accumulate ON DEVICE between reads (lazy scalar adds;
+    # no sync) and the window MEAN is printed/logged at the window edge
+    # (tpuseg extension; measured step-rate delta in BASELINE.md)
+    log_every_n_steps: int = 1
 
 
 @dataclass
@@ -236,11 +244,35 @@ def train_model(config: TrainConfig) -> TrainResult:
                       f"{cfg.output_folder}/profile")
 
             start_time = time.time()
+            log_every = max(1, int(cfg.log_every_n_steps))
+            win_loss = win_acc = None
+            win_count = 0
             # reference runs steps 0..size inclusive (break on step > size)
             for step in range(cur_train_epoch_size + 1):
                 images, labels = next(train_iter)
                 state, metrics = tstep(state, images, labels)
-                loss = float(metrics["loss"])
+                # device-side accumulation: lazy scalar adds, no host sync
+                win_loss = metrics["loss"] if win_loss is None else win_loss + metrics["loss"]
+                win_acc = metrics["accuracy"] if win_acc is None else win_acc + metrics["accuracy"]
+                win_count += 1
+                # profiling needs the per-step sync to close the trace at an
+                # exact step, so it overrides the logging cadence
+                if (step % log_every == log_every - 1
+                        or step == cur_train_epoch_size
+                        or profile_ctx is not None):
+                    loss = float(win_loss) / win_count  # syncs the step chain
+                    acc = float(win_acc) / win_count
+                    meter.update(global_batch_size * win_count)
+                    print(f"Train Epoch {epoch}: Batch {step}/{train_epoch_size}: "
+                          f"Loss {loss} Accuracy = {acc}")
+                    global_step = int(epoch * train_epoch_size + step)
+                    train_writer.add_scalar("loss", loss, global_step)
+                    train_writer.add_scalar("accuracy", acc, global_step)
+                    if meter.images_per_sec:
+                        train_writer.add_scalar("images_per_sec", meter.images_per_sec, global_step)
+                    final_train_loss = loss
+                    win_loss = win_acc = None
+                    win_count = 0
                 if profile_ctx is not None and (
                         step + 1 >= cfg.profile_steps
                         or step == cur_train_epoch_size):
@@ -249,16 +281,6 @@ def train_model(config: TrainConfig) -> TrainResult:
                     # is shorter — never leave it recording into later epochs)
                     profile_ctx.__exit__(None, None, None)
                     profile_ctx = None
-                acc = float(metrics["accuracy"])
-                meter.update(global_batch_size)
-                print(f"Train Epoch {epoch}: Batch {step}/{train_epoch_size}: "
-                      f"Loss {loss} Accuracy = {acc}")
-                global_step = int(epoch * train_epoch_size + step)
-                train_writer.add_scalar("loss", loss, global_step)
-                train_writer.add_scalar("accuracy", acc, global_step)
-                if meter.images_per_sec:
-                    train_writer.add_scalar("images_per_sec", meter.images_per_sec, global_step)
-                final_train_loss = loss
 
             # test epoch (train.py:152-171); the iterator must be closed so
             # its producer thread stops consuming the shared reader queue
