@@ -173,3 +173,30 @@ def test_reader_raises_ioerror_on_fuzzed_files(tmp_path):
         except (IOError, Exception) as e:
             assert isinstance(e, (IOError, ValueError)) or "zlib" in type(e).__module__, \
                 f"unexpected {type(e)} on trial {trial}: {e}"
+
+
+def test_short_tile_index_rejected_at_open(tmp_path):
+    """A corrupt-but-parsable file whose TileOffsets array is shorter than
+    the tile grid must raise IOError at construction (ADVICE r2), keeping
+    the constructor's corruption-normalization promise."""
+    import struct
+
+    img = np.arange(96 * 96, dtype=np.uint16).reshape(96, 96)
+    fp = str(tmp_path / "short.tif")
+    bigtiff.write_bigtiff(fp, img, tile=(32, 32))  # 3x3 tile grid
+    raw = bytearray(open(fp, "rb").read())
+    # BigTIFF: IFD offset at byte 8; IFD = count u64 then 20-byte entries
+    # (tag u16, type u16, count u64, value u64); shrink TileOffsets' count
+    (ifd_off,) = struct.unpack_from("<Q", raw, 8)
+    (n_entries,) = struct.unpack_from("<Q", raw, ifd_off)
+    patched = False
+    for i in range(n_entries):
+        e = ifd_off + 8 + 20 * i
+        (tag,) = struct.unpack_from("<H", raw, e)
+        if tag == 324:  # TileOffsets
+            struct.pack_into("<Q", raw, e + 4, 2)  # 2 offsets for 9 tiles
+            patched = True
+    assert patched
+    open(fp, "wb").write(bytes(raw))
+    with pytest.raises(IOError, match="tile index shorter"):
+        bigtiff.BigTiffReader(fp)

@@ -208,3 +208,36 @@ def test_manifest_written(built_dbs):
     with open(os.path.join(train_db, "img_filenames.csv")) as f:
         names = [line.strip() for line in f if line.strip()]
     assert len(names) == 80 and names[0].endswith(".tif")
+
+
+def test_streamed_build_midstream_failure_does_not_duplicate(tmp_path, monkeypatch):
+    """An I/O error AFTER some tiles were streamed must propagate, not fall
+    back — the append-only store would otherwise hold the streamed tiles
+    plus the in-RAM copies under duplicate keys (ADVICE r2)."""
+    import numpy as np
+
+    from tpuseg.data import build_db
+    from tpuseg.utils import bigtiff
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 4096, (300, 280)).astype(np.uint16)
+    msk = rng.integers(0, 2, (300, 280)).astype(np.uint8)
+    imgdir, mskdir = tmp_path / "imgs", tmp_path / "msks"
+    imgdir.mkdir(), mskdir.mkdir()
+    bigtiff.write_bigtiff(str(imgdir / "s.tif"), img, tile=(128, 128))
+    bigtiff.write_bigtiff(str(mskdir / "s.tif"), msk, tile=(128, 128))
+
+    real = build_db._stream_slide_tiling
+
+    def partial_then_fail(writer, img_path, msk_path, tile_size, block_key,
+                          emitted=None):
+        writer.put(f"{block_key}_i0_j0:0,1", b"partial-record")
+        if emitted is not None:
+            emitted["records"] = emitted.get("records", 0) + 1
+        raise IOError("disk went away mid-stream")
+
+    monkeypatch.setattr(build_db, "_stream_slide_tiling", partial_then_fail)
+    with pytest.raises(IOError, match="mid-stream"):
+        build_db.generate_database(["s.tif"], "train-mid.lmdb", str(imgdir),
+                                   str(mskdir), str(tmp_path), tile_size=256)
+    assert real is not partial_then_fail  # silence unused warning

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpuseg.ops.metrics import (
     confusion_matrix,
@@ -130,3 +131,24 @@ def test_evaluate_folder_falls_back_on_foreign_bigtiff(tmp_path, monkeypatch):
     monkeypatch.setattr(metrics, "_stream_confusion", boom)
     res = metrics.evaluate_folder(str(tmp_path / "pred"), str(tmp_path / "true"), 2)
     assert res["pixel_accuracy"] == 1.0 and res["num_images"] == 1
+
+
+def test_evaluate_folder_shape_mismatch_is_not_swallowed(tmp_path):
+    """A transposed prediction mask must raise, not silently score through
+    the dialect fallback's ravel (ADVICE r2): the streaming IOError->imread
+    retry path must not catch geometry errors."""
+    from tpuseg.ops.metrics import _bincount_cm, evaluate_folder
+    from tpuseg.utils import bigtiff
+
+    rng = np.random.default_rng(3)
+    pred_dir, truth_dir = tmp_path / "pred", tmp_path / "truth"
+    pred_dir.mkdir(), truth_dir.mkdir()
+    # equal pixel counts, transposed shapes — the silent-corruption case
+    bigtiff.write_bigtiff(str(pred_dir / "m.tif"),
+                          rng.integers(0, 2, (48, 32)).astype(np.uint8), tile=(16, 16))
+    bigtiff.write_bigtiff(str(truth_dir / "m.tif"),
+                          rng.integers(0, 2, (32, 48)).astype(np.uint8), tile=(16, 16))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        evaluate_folder(str(pred_dir), str(truth_dir), num_classes=2)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        _bincount_cm(np.zeros((4, 6), np.int32), np.zeros((6, 4), np.int32), 2)

@@ -172,3 +172,52 @@ def test_program_cache_dies_with_model():
     del predict
     gc.collect()
     assert ref() is None, "predict_fn (and its program cache) not collected"
+
+
+def test_read_ahead_abandoned_consumer_releases_producer(tmp_path):
+    """Closing the generator mid-iteration must unblock and end the reader
+    thread (ADVICE r2: an abandoned q.put pinned decoded images for process
+    life when a library caller's inference raised on one image)."""
+    import threading
+    import time
+
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    paths = []
+    for i in range(6):
+        p = os.path.join(imgdir, f"im{i}.tif")
+        imwrite(p, np.full((20, 20), i, np.uint16))
+        paths.append(p)
+
+    before = {t.name for t in threading.enumerate()}
+    it = _read_ahead(paths, depth=1)
+    next(it)  # producer is now blocked on the bounded queue
+    it.close()  # consumer abandons (finally -> stop event)
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        readers = [t for t in threading.enumerate()
+                   if t.name == "tpuseg-infer-read" and t.is_alive()
+                   and t.name not in before]
+        if not readers:
+            break
+        time.sleep(0.05)
+    assert not [t for t in threading.enumerate()
+                if t.name == "tpuseg-infer-read" and t.is_alive()], \
+        "read-ahead producer still alive after generator close"
+
+
+def test_inference_rejects_channel_mismatch(ckpt, tmp_path):
+    """A 3-channel image against a 1-channel model must fail fast with a
+    clean message, not an XLA shape error (VERDICT r2 item 8)."""
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    rng = np.random.default_rng(0)
+    imwrite(os.path.join(imgdir, "rgbish.tif"),
+            rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8))
+    cfg = InferenceConfig(
+        checkpoint_filepath=ckpt, image_folder=imgdir,
+        output_folder=str(tmp_path / "out"),
+        number_classes=2, number_channels=1, tile_size=288, radius=96,
+        batch_size=2, dtype="float32", base_features=2)
+    with pytest.raises(ValueError, match="3 channel.*number_channels=1"):
+        inference(cfg)

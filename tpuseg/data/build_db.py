@@ -22,7 +22,7 @@ from __future__ import annotations
 import os
 import random
 import shutil
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -114,7 +114,8 @@ def process_slide_tiling(
 
 
 def _stream_slide_tiling(writer: RecordWriter, img_path: str, msk_path: str,
-                         tile_size: int, block_key: str) -> None:
+                         tile_size: int, block_key: str,
+                         emitted: Optional[dict] = None) -> None:
     """Tile a whole-slide image/mask pair straight from tiled BigTIFF into
     the record store without materializing either — the builder analog of
     streaming inference. The reference (and the in-RAM path below) loads
@@ -137,6 +138,11 @@ def _stream_slide_tiling(writer: RecordWriter, img_path: str, msk_path: str,
             m = mr.read_region(y_st, x_st, y_end - y_st, x_end - x_st)[..., 0]
             key = f"{block_key}_i{y_st}_j{x_st}:{_present_classes_str(m)}"
             writer.put(key, serialize_image_mask_pair(t, m))
+            if emitted is not None:
+                # lets the caller distinguish "failed before any write"
+                # (safe to fall back) from "failed mid-stream" (falling
+                # back would duplicate the already-written keys)
+                emitted["records"] = emitted.get("records", 0) + 1
 
 
 def _check_mask_dtype(dtype, msk_path: str) -> None:
@@ -183,15 +189,21 @@ def generate_database(
                 # whole-slide pair: tile straight from disk, never
                 # materializing the image (reference loads it whole,
                 # build_lmdb.py:149-151 — impossible for >RAM slides)
+                emitted: dict = {}
                 try:
                     _stream_slide_tiling(writer, img_path, msk_path,
-                                         tile_size, block_key)
+                                         tile_size, block_key, emitted)
                     continue
                 except IOError:
                     # foreign BigTIFF dialect (strip layout, LZW, ...):
                     # fall back to the in-RAM path, whose imread fallbacks
-                    # (imageio/cv2 libtiff) handle those files
-                    pass
+                    # (imageio/cv2 libtiff) handle those files — but only
+                    # if nothing was written yet: a mid-stream I/O error
+                    # after some puts must propagate, or the append-only
+                    # store would hold the streamed tiles AND the in-RAM
+                    # copies (duplicate keys skew sampling; ADVICE r2)
+                    if emitted.get("records"):
+                        raise
 
             img = imread(os.path.join(image_filepath, img_file_name))
             # mask dtype is preserved (reference write_img_to_db keeps it,

@@ -63,8 +63,14 @@ def _bincount_cm(pred, true, num_classes):
     counts, exactly as one-hot encoding drops them."""
     import numpy as np
 
-    p = np.asarray(pred).ravel().astype(np.int64)
-    t = np.asarray(true).ravel().astype(np.int64)
+    p = np.asarray(pred)
+    t = np.asarray(true)
+    if p.shape != t.shape:
+        # ravelling equal-sized but differently-shaped masks (e.g. a
+        # transposed HxW) would silently mis-pair pixels
+        raise ValueError(f"mask shape mismatch: pred {p.shape} vs true {t.shape}")
+    p = p.ravel().astype(np.int64)
+    t = t.ravel().astype(np.int64)
     valid = (p >= 0) & (p < num_classes) & (t >= 0) & (t < num_classes)
     if not valid.all():
         p, t = p[valid], t[valid]
@@ -87,8 +93,12 @@ def _stream_confusion(pred_fp: str, truth_fp: str, num_classes: int):
     with BigTiffReader(pred_fp, tile_cache=1) as pr, \
             BigTiffReader(truth_fp, tile_cache=1) as tr:
         if (pr.height, pr.width) != (tr.height, tr.width):
-            raise IOError(f"mask shape mismatch: {pred_fp} {pr.shape} vs "
-                          f"{truth_fp} {tr.shape}")
+            # ValueError, NOT IOError: evaluate_folder's dialect fallback
+            # catches IOError and would retry via imread, silently scoring
+            # mis-paired pixels (ADVICE r2) — a geometry mismatch is a data
+            # error, not a format problem
+            raise ValueError(f"mask shape mismatch: {pred_fp} {pr.shape} vs "
+                             f"{truth_fp} {tr.shape}")
         th, tw = pr.tile_height, pr.tile_width
         for ty in range(pr.tiles_down):
             for tx in range(pr.tiles_across):

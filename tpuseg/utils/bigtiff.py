@@ -160,6 +160,15 @@ class BigTiffReader:
         self._counts = _tag_array(f, tags[_TILE_BYTE_COUNTS])
         self.tiles_across = -(-self.width // self.tile_width)
         self.tiles_down = -(-self.height // self.tile_height)
+        n_tiles = self.tiles_down * self.tiles_across
+        if len(self._offsets) < n_tiles or len(self._counts) < n_tiles:
+            # a corrupt-but-parsable short tag array would otherwise raise
+            # IndexError later from _tile()/read_region, bypassing callers'
+            # IOError-driven imread fallbacks (ADVICE r2)
+            raise IOError(
+                f"BigTIFF tile index shorter than the tile grid "
+                f"({len(self._offsets)} offsets / {len(self._counts)} counts "
+                f"for {n_tiles} tiles): {fp}")
 
     @property
     def shape(self) -> Tuple[int, ...]:
