@@ -24,8 +24,10 @@ reference's skimage calls. The sequential two-stage resampling (rotate pass,
 then scale pass) also matches the reference; the shears add one more
 resample inside the rotation stage — an interpolation difference only.
 
-Square images take the fast path; non-square fall back to the gather warp
-(rot90 would change their shape).
+This warp requires square images (rot90 would change a non-square shape);
+callers with non-square tiles reflect-pad to square, warp, and crop —
+see tpuseg.aug.device (the round-1 gather-warp fallback is gone: gathers
+ran ~18x slower on this backend).
 """
 
 from __future__ import annotations
