@@ -8,6 +8,7 @@ it exercises the *reader* without touching the writer, breaking the
 """
 
 import os
+import sys
 import struct
 
 import numpy as np
@@ -230,3 +231,54 @@ def test_convert_db_refuses_to_clobber(tmp_path):
 
     with pytest.raises(IOError, match="already exists"):
         convert(db, str(out), "tsr")
+
+
+def test_writer_spills_values_to_disk(tmp_path):
+    """The writer must not buffer record bytes in RAM (a real migration can
+    exceed memory): values spill to a temp sidecar during puts and the
+    sidecar is removed on close."""
+    db = str(tmp_path / "spill.lmdb")
+    w = LmdbWriter(db)
+    w.put(b"k:0", b"v" * 100000)
+    spill = os.path.join(db, "data.mdb.spill")
+    assert os.path.exists(spill) and os.path.getsize(spill) == 100000
+    assert sum(sys.getsizeof(v) for v in w._items.values()) < 10000  # locators only
+    w.close()
+    assert not os.path.exists(spill)
+    with LmdbReader(db) as r:
+        assert r.get(b"k:0") == b"v" * 100000
+
+
+def test_writer_duplicate_key_last_wins(tmp_path):
+    db = str(tmp_path / "dup.lmdb")
+    with LmdbWriter(db) as w:
+        w.put(b"k:0", b"first")
+        w.put(b"k:0", b"second" * 3000)  # replaces via overflow path too
+    with LmdbReader(db) as r:
+        assert len(r) == 1
+        assert r.get(b"k:0") == b"second" * 3000
+
+
+def test_reader_survives_random_corruption(tmp_path):
+    """Byte-flip fuzz: a corrupted database must raise IOError (or read
+    differing bytes) — never crash with IndexError/struct.error/hang."""
+    rng = np.random.default_rng(9)
+    db = str(tmp_path / "fuzz.lmdb")
+    with LmdbWriter(db) as w:
+        for i in range(40):
+            n = int(rng.integers(1, 20000))
+            w.put(f"k{i:03d}:0".encode(), rng.integers(0, 255, n, dtype=np.uint8).tobytes())
+    path = os.path.join(db, "data.mdb")
+    pristine = open(path, "rb").read()
+    for trial in range(60):
+        raw = bytearray(pristine)
+        for _ in range(int(rng.integers(1, 8))):
+            pos = int(rng.integers(0, len(raw)))
+            raw[pos] ^= int(rng.integers(1, 256))
+        open(path, "wb").write(bytes(raw))
+        try:
+            with LmdbReader(db) as r:
+                for i in range(len(r)):
+                    r.get_at(i)
+        except (IOError, KeyError):
+            pass  # the contract: corruption surfaces as IOError (or os-level)

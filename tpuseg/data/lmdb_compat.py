@@ -18,7 +18,10 @@ format** directly:
 - :class:`LmdbWriter` — a minimal single-transaction writer producing a
   valid database (sorted keys, bottom-up B+tree build, both meta pages),
   so tpuseg datasets can migrate *back* to reference deployments — the
-  dataset analog of utils/tf_export.py.
+  dataset analog of utils/tf_export.py. Memory is bounded: record bytes
+  spill to a temp sidecar as they arrive and pages stream to the output
+  file, so converting a larger-than-RAM dataset works (RAM holds only the
+  key -> locator map).
 
 Scope: the main (unnamed) DB only — exactly what the reference uses (no
 named sub-databases, no dupsort). Format constants follow LMDB 0.9
@@ -306,10 +309,18 @@ class LmdbWriter:
         self._path = os.path.join(path, DATA_MDB)
         self._psize = psize
         self._mapsize = mapsize
-        self._items: Dict[bytes, bytes] = {}
         self._closed = False
         # inline limit: key+data node must fit a half page like liblmdb
         self._nodemax = ((psize - PAGEHDRSZ) // 2) & ~1
+        # bounded memory: values spill to a temp sidecar as they arrive
+        # (puts come in any order but pages must be key-sorted, so values
+        # can't stream into final pages directly); RAM holds only
+        # key -> (offset, length). A 100k-record image dataset would
+        # otherwise buffer ~10+ GB.
+        self._spill_path = self._path + ".spill"
+        self._spill = open(self._spill_path, "w+b")
+        self._items: Dict[bytes, Tuple[int, int]] = {}
+        self._spill_pos = 0
 
     def put(self, key, value: bytes) -> None:
         if self._closed:
@@ -318,7 +329,17 @@ class LmdbWriter:
             key = key.encode("ascii")
         if not key or len(key) > 511:  # MDB_MAXKEYSIZE default
             raise ValueError(f"lmdb: key length {len(key)} outside 1..511")
-        self._items[key] = bytes(value)
+        value = bytes(value)
+        if key in self._items:  # last write wins, like mdb_put
+            pass  # the old spill bytes become dead space in the temp file
+        self._spill.write(value)
+        self._items[key] = (self._spill_pos, len(value))
+        self._spill_pos += len(value)
+
+    def _value(self, loc: Tuple[int, int]) -> bytes:
+        off, length = loc
+        self._spill.seek(off)
+        return self._spill.read(length)
 
     def putmany(self, items: Iterable[Tuple[bytes, bytes]]) -> None:
         for k, v in items:
@@ -329,13 +350,18 @@ class LmdbWriter:
             return
         self._closed = True
         psize = self._psize
-        pages: List[bytes] = [b"", b""]  # meta 0/1 placeholders
         counts = {"branch": 0, "leaf": 0, "overflow": 0}
+        tmp = self._path + ".tmp"
+        out = open(tmp, "wb")
+        out.write(b"\0" * (2 * psize))  # meta page 0/1 placeholders
+        next_pgno = [2]  # pages stream to the file in pgno order
 
         def add_page(raw: bytes) -> int:
             assert len(raw) == psize
-            pages.append(raw)
-            return len(pages) - 1
+            pgno = next_pgno[0]
+            next_pgno[0] += 1
+            out.write(raw)
+            return pgno
 
         def page_hdr(pgno: int, flags: int, lower: int, upper: int) -> bytes:
             return _PAGEHDR.pack(pgno, 0, flags, lower, upper)
@@ -343,39 +369,40 @@ class LmdbWriter:
         items = sorted(self._items.items())
 
         # -- leaf level (and overflow chains) --
-        leaf_entries: List[Tuple[bytes, bytes, int]] = []  # key, nodebytes, flags
-        for key, value in items:
-            inline_sz = NODESIZE + len(key) + len(value)
+        leaf_entries: List[Tuple[bytes, Tuple[int, int], int]] = []  # key, loc, flags
+        for key, loc in items:
+            inline_sz = NODESIZE + len(key) + loc[1]
             if inline_sz <= self._nodemax:
-                leaf_entries.append((key, value, 0))
+                leaf_entries.append((key, loc, 0))
             else:
-                leaf_entries.append((key, value, F_BIGDATA))
+                leaf_entries.append((key, loc, F_BIGDATA))
 
         level: List[Tuple[bytes, int]] = []  # (first key of page, pgno)
 
-        def flush_leaf(nodes: List[Tuple[bytes, bytes, int]]) -> None:
+        def flush_leaf(nodes: List[Tuple[bytes, Tuple[int, int], int]]) -> None:
+            # pass 1: emit overflow chains (fixing their pgnos) and build
+            # each node's payload; pass 2: pack the leaf page itself
+            packed: List[Tuple[bytes, bytes, int, int]] = []  # key, payload, dsize, flags
+            for key, loc, nflags in nodes:
+                value = self._value(loc)
+                dsize = len(value)
+                if nflags & F_BIGDATA:
+                    npages = (PAGEHDRSZ + dsize + psize - 1) // psize
+                    first = next_pgno[0]
+                    blob = page_hdr(first, P_OVERFLOW,
+                                    npages & 0xFFFF, (npages >> 16) & 0xFFFF) + value
+                    blob += b"\0" * (npages * psize - len(blob))
+                    for i in range(npages):
+                        add_page(bytes(blob[i * psize:(i + 1) * psize]))
+                    counts["overflow"] += npages
+                    packed.append((key, struct.pack("<Q", first), dsize, nflags))
+                else:
+                    packed.append((key, value, dsize, nflags))
             # nodes grow down from page end; ptr array grows up from header
             body = bytearray(psize)
             upper = psize
             ptrs: List[int] = []
-            for key, value, nflags in nodes:
-                if nflags & F_BIGDATA:
-                    dsize = len(value)
-                    # allocate the overflow chain NOW so pgnos are in
-                    # write order (liblmdb allocates data pages first in
-                    # a fresh load too; readers never depend on order)
-                    npages = (PAGEHDRSZ + dsize + psize - 1) // psize
-                    blob = page_hdr(len(pages), P_OVERFLOW,
-                                    npages & 0xFFFF, (npages >> 16) & 0xFFFF) + value
-                    blob += b"\0" * (npages * psize - len(blob))
-                    first = len(pages)
-                    for i in range(npages):
-                        add_page(bytes(blob[i * psize:(i + 1) * psize]))
-                    counts["overflow"] += npages
-                    payload = struct.pack("<Q", first)
-                else:
-                    dsize = len(value)
-                    payload = value
+            for key, payload, dsize, nflags in packed:
                 nsz = NODESIZE + len(key) + len(payload)
                 nsz += nsz & 1  # even alignment (mdb_leaf_size EVEN())
                 upper -= nsz
@@ -384,31 +411,26 @@ class LmdbWriter:
                 body[upper:upper + len(node)] = node
                 ptrs.append(upper)
             lower = PAGEHDRSZ + 2 * len(ptrs)
-            body[:PAGEHDRSZ] = page_hdr(0, P_LEAF, lower, upper)
+            body[:PAGEHDRSZ] = page_hdr(next_pgno[0], P_LEAF, lower, upper)
             struct.pack_into(f"<{len(ptrs)}H", body, PAGEHDRSZ, *ptrs)
             pgno = add_page(bytes(body))
-            # stamp the real pgno
-            pg = bytearray(pages[pgno])
-            struct.pack_into("<Q", pg, 0, pgno)
-            pages[pgno] = bytes(pg)
             counts["leaf"] += 1
             level.append((nodes[0][0] if nodes else b"", pgno))
 
-        cur: List[Tuple[bytes, bytes, int]] = []
+        cur: List[Tuple[bytes, Tuple[int, int], int]] = []
         used = 0
-        for key, value, nflags in leaf_entries:
-            payload_len = 8 if nflags & F_BIGDATA else len(value)
+        for key, loc, nflags in leaf_entries:
+            payload_len = 8 if nflags & F_BIGDATA else loc[1]
             nsz = NODESIZE + len(key) + payload_len
             nsz += nsz & 1
             need = 2 + nsz  # ptr slot + node
             if cur and PAGEHDRSZ + used + need > psize:
                 flush_leaf(cur)
                 cur, used = [], 0
-            cur.append((key, value, nflags))
+            cur.append((key, loc, nflags))
             used += need
-        if cur or not leaf_entries:
-            if leaf_entries:
-                flush_leaf(cur)
+        if cur:
+            flush_leaf(cur)
 
         depth = 1 if level else 0
 
@@ -430,12 +452,9 @@ class LmdbWriter:
                     body[upper:upper + len(node)] = node
                     ptrs.append(upper)
                 lower = PAGEHDRSZ + 2 * len(ptrs)
-                body[:PAGEHDRSZ] = page_hdr(0, P_BRANCH, lower, upper)
+                body[:PAGEHDRSZ] = page_hdr(next_pgno[0], P_BRANCH, lower, upper)
                 struct.pack_into(f"<{len(ptrs)}H", body, PAGEHDRSZ, *ptrs)
                 pgno = add_page(bytes(body))
-                pg = bytearray(pages[pgno])
-                struct.pack_into("<Q", pg, 0, pgno)
-                pages[pgno] = bytes(pg)
                 counts["branch"] += 1
                 next_level.append((children[0][0], pgno))
 
@@ -460,8 +479,8 @@ class LmdbWriter:
             depth += 1
 
         root = level[0][1] if level else P_INVALID
-        last_pg = len(pages) - 1
-        file_size = len(pages) * psize
+        last_pg = next_pgno[0] - 1
+        file_size = next_pgno[0] * psize
         mapsize = self._mapsize or max(file_size, 1 << 20)
 
         def meta_page(pgno: int) -> bytes:
@@ -473,14 +492,18 @@ class LmdbWriter:
             body = page_hdr(pgno, P_META, 0, 0) + meta
             return body + b"\0" * (psize - len(body))
 
-        pages[0] = meta_page(0)
-        pages[1] = meta_page(1)
-
-        tmp = self._path + ".tmp"
-        with open(tmp, "wb") as f:
-            for p in pages:
-                f.write(p)
-        os.replace(tmp, self._path)
+        try:
+            out.seek(0)
+            out.write(meta_page(0))
+            out.write(meta_page(1))
+            out.close()
+            os.replace(tmp, self._path)
+        finally:
+            self._spill.close()
+            try:
+                os.remove(self._spill_path)
+            except OSError:
+                pass
         # an empty lock file, as liblmdb leaves behind
         lock = os.path.join(os.path.dirname(self._path), "lock.mdb")
         if not os.path.exists(lock):
