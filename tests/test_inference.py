@@ -250,3 +250,53 @@ def test_erf_radius_is_x16_and_plausible(tiny):
     r = estimate_radius(model, variables, num_channels=1, rng=np.random.default_rng(0))
     assert r % 16 == 0
     assert 16 <= r <= 192
+
+
+def test_choose_tile_size_cost_model():
+    """The auto-tile chooser minimizes computed pixels and prefers whole
+    device chunks on ties."""
+    from tpuseg.infer.tiled import choose_tile_size
+
+    # 4096^2, radius 96: the chooser beats the fixed 1024 (25 tiles =
+    # 26.2 MP) by finding zor 1024 -> tile 1216, a 4x4 grid covering 4096
+    # exactly (23.7 MP, zero grid padding)
+    t4096 = choose_tile_size(4096, 4096, 96)
+    assert t4096 == 1216
+    assert 16 * t4096 * t4096 < 25 * 1024 * 1024
+    # 3330^2: fixed 1024 needs 25 tiles -> 32 padded slots (33.6 MP-slots);
+    # the chooser finds a 16-slot geometry (measured 14.8 -> 18.2 MP/s)
+    t = choose_tile_size(3330, 3330, 96)
+    zor = t - 192
+    n = (-(-3330 // zor)) ** 2
+    slots = -(-n // 8) * 8
+    assert slots * t * t < 32 * 1024 * 1024
+    # always a multiple of 16, zor >= radius (the stitcher's own contract)
+    for h, w in ((1100, 5000), (2048, 2048), (9000, 1200)):
+        t = choose_tile_size(h, w, 96)
+        assert t % 16 == 0 and (t - 192) >= 96
+
+
+def test_auto_tile_matches_fixed_tile_outputs(tiny):
+    """auto_tile changes geometry, never pixels (every output still sees
+    its full halo): an awkward non-divisible image must segment identically
+    under the chosen tile and the fixed tile."""
+    from tpuseg.infer.tiled import choose_tile_size
+
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(430, 390, 1)).astype(np.float32)
+    # radius 96 >= the tiny model's true receptive field -> exact equality
+    fixed = inference_tiled(img, predict, tile_size=288, radius=96,
+                            batch_size=2, num_classes=3)
+    t = choose_tile_size(430, 390, radius=96, min_tile=288, max_tile=512)
+    assert t != 288  # the chooser actually picked a different geometry
+    auto = inference_tiled(img, predict, tile_size=t, radius=96,
+                           batch_size=2, num_classes=3)
+    assert fixed.shape == auto.shape == (430, 390)
+    # interior pixels (full halo inside the real image) are bit-identical;
+    # border pixels may differ where the two geometries reflect-pad
+    # different amounts (the reference's clamped boxes have the same
+    # property, inference.py:75-95)
+    np.testing.assert_array_equal(fixed[96:-96, 96:-96], auto[96:-96, 96:-96])
+    assert (fixed != auto).mean() < 1e-3

@@ -45,6 +45,11 @@ def main(argv=None):
     parser.add_argument("--no_read_ahead", dest="read_ahead", action="store_false",
                         help="read images synchronously instead of prefetching the "
                              "next one (halves peak host memory; tpuseg extension)")
+    parser.add_argument("--auto_tile", dest="auto_tile", action="store_true",
+                        help="choose the tile size per image to minimize computed "
+                             "pixels (halo ring + grid padding) instead of the "
+                             "fixed --tile_size; output-exactness neutral "
+                             "(tpuseg extension)")
     parser.add_argument("--streaming", dest="streaming", action="store_true",
                         help="stream tiled-BigTIFF inputs window-by-window and "
                              "write masks incrementally — segments whole-slide "
@@ -65,6 +70,7 @@ def main(argv=None):
         data_parallel=args.data_parallel,
         streaming=args.streaming,
         read_ahead=args.read_ahead,
+        auto_tile=args.auto_tile,
     ))
 
 

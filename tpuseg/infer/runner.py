@@ -56,6 +56,12 @@ class InferenceConfig:
     # host memory holds ~2 decoded images — disable (or use streaming) when
     # single images approach half of host RAM
     read_ahead: bool = True
+    # choose the tile size per image to minimize computed pixels (halo ring
+    # + grid padding; see infer.tiled.choose_tile_size) instead of the
+    # reference's fixed 1024 (inference.py:24). Exactness-neutral: every
+    # output pixel still sees its full halo. tile_size keeps gating the
+    # small-vs-tiled dispatch
+    auto_tile: bool = False
 
 
 def load_model(cfg: InferenceConfig):
@@ -240,10 +246,17 @@ def inference(cfg: InferenceConfig) -> List[str]:
             if radius is None:
                 radius = estimate_radius(model, variables, cfg.number_channels)
                 print(f'Estimated radius based on ERF : "{radius}"')
+            tile = cfg.tile_size
+            if cfg.auto_tile:
+                from tpuseg.infer.tiled import choose_tile_size
+
+                tile = choose_tile_size(img.shape[0], img.shape[1], radius,
+                                        chunk=flush_n)
+                print(f"  auto tile size: {tile}")
             # z-score fuses into the device program: the (often uint16)
             # image ships in its native dtype — half the transfer bytes of
             # the host-normalized float32 the reference sends (inference.py:206)
-            mask = inference_tiled(img, predict_fn, cfg.tile_size, radius,
+            mask = inference_tiled(img, predict_fn, tile, radius,
                                    cfg.batch_size, num_classes=cfg.number_classes,
                                    mesh=mesh, norm_stats=stats)
             _save(mask, img_filepath)

@@ -31,6 +31,49 @@ from tpuseg import RADIUS, SIZE_FACTOR
 from tpuseg.models.unet import UNet
 
 TILE_SIZE = 1024  # inference.py:24
+# auto-tile search ceiling: 2048^2 tiles at batch 8 exceed HBM on a v5e
+# (measured: the compile OOMs), 1536 compiles and runs
+MAX_AUTO_TILE = 1536
+
+
+def choose_tile_size(height: int, width: int, radius: int = RADIUS,
+                     min_tile: int = 512, max_tile: int = MAX_AUTO_TILE,
+                     chunk: int = 8) -> int:
+    """Pick the tile size minimizing total computed pixels for one image.
+
+    The reference hardcodes TILE_SIZE=1024 (inference.py:24), which costs
+    two avoidable overheads: the halo ring (a 1024-tile computes 1024^2
+    pixels to own zor^2 = 832^2 — 1.51x) and grid padding (the zor grid
+    rounds the image up; a 3330^2 image pays ceil(3330/832)=5 -> 25 tiles
+    = 26.2 MP of compute for 11.1 MP of output, where tile 1312 covers it
+    with 9 tiles = 15.5 MP — 1.7x less). This searches multiples of 16 and
+    minimizes ``ceil(n_tiles/chunk) * chunk * tile^2`` — tile *slots*, not
+    tiles, because the batch dimension is the sublane dimension in the
+    device layout: a remainder batch of r < chunk tiles pads toward the
+    full sublane group and costs accordingly (the same effect as the 512²
+    batch sweep in BASELINE.md). Ties break toward smaller tiles (smaller
+    working set). Exactness does not depend on the choice: every output
+    pixel still sees ``radius`` of context (only border pixels whose halo
+    falls in reflect padding can differ between geometries — the
+    reference's clamped boxes have the same property). Measured on a v5e
+    (BASELINE.md round 3): 44.2 -> 49.7 MP/s on 4096² (tile 1216 makes the
+    zor grid cover it exactly), 14.5 -> 17.3 MP/s on 3330².
+    """
+    best = None
+    lo = max(min_tile, ((3 * radius + SIZE_FACTOR - 1) // SIZE_FACTOR) * SIZE_FACTOR)
+    for tile in range(lo, max_tile + 1, SIZE_FACTOR):
+        zor = tile - 2 * radius
+        if zor < radius:
+            continue
+        n_tiles = -(-height // zor) * (-(-width // zor))
+        slots = -(-n_tiles // chunk) * chunk
+        key = (slots * tile * tile, tile)
+        if best is None or key < best[0]:
+            best = (key, tile)
+    if best is None:
+        raise ValueError(
+            f"no valid tile size in [{lo}, {max_tile}] for radius {radius}")
+    return best[1]
 
 
 def _pad_to_multiple(img: np.ndarray) -> Tuple[np.ndarray, int, int]:
