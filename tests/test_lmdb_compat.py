@@ -282,3 +282,13 @@ def test_reader_survives_random_corruption(tmp_path):
                     r.get_at(i)
         except (IOError, KeyError):
             pass  # the contract: corruption surfaces as IOError (or os-level)
+
+
+def test_reader_names_big_endian_rejection(tmp_path):
+    db = tmp_path / "be.lmdb"
+    os.makedirs(db)
+    page = bytearray(4096)
+    struct.pack_into(">I", page, 16, MDB_MAGIC)  # byte-swapped magic
+    (db / "data.mdb").write_bytes(bytes(page) * 2)
+    with pytest.raises(IOError, match="big-endian"):
+        LmdbReader(str(db))

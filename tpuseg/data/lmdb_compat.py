@@ -179,6 +179,12 @@ class LmdbReader:
             # non-4K psize moves meta page 1, but meta 0 is always at 0
             m0 = _parse_meta(mm, 0, 512)
         if m0 is None:
+            (swapped,) = struct.unpack_from(">I", mm, PAGEHDRSZ)
+            if swapped == MDB_MAGIC:
+                raise IOError(
+                    f"lmdb: big-endian database unsupported (this parser "
+                    f"speaks the reference's x86-64 little-endian layout): "
+                    f"{self._path}")
             raise IOError(f"lmdb: bad meta magic — not an LMDB database: {self._path}")
         psize = m0.psize
         if psize < 512 or psize & (psize - 1):
