@@ -232,3 +232,20 @@ def test_train_model_log_cadence(dbs, tmp_path, capsys):
              if l.startswith("Train Epoch 0: Batch ")]
     # 7 steps (size+1) at cadence 4 -> syncs at steps 3 and 6 (epoch end)
     assert [l.split(":")[1].strip() for l in lines] == ["Batch 3/6", "Batch 6/6"]
+
+
+def test_train_model_batch_echo(dbs, tmp_path):
+    """Data echoing: N optimizer steps per fetched batch; with device
+    augmentation each echo is a fresh augmentation of the raw batch
+    (arXiv:1907.05550 'example echoing'). The loop must complete with the
+    same step accounting."""
+    train_db, test_db = dbs
+    cfg = TrainConfig(
+        train_database=train_db, test_database=test_db,
+        output_folder=str(tmp_path / "echo"),
+        batch_size=1, test_every_n_steps=4, early_stopping_count=1,
+        use_augmentation=True, max_epochs=1, dtype="float32",
+        base_features=2, seed=0, device_augment=True, batch_echo=2)
+    result = train_model(cfg)
+    assert result.epochs_run == 1
+    assert np.isfinite(result.final_train_loss)

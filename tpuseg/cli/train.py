@@ -65,6 +65,11 @@ def main(argv=None):
                         help="capture a jax.profiler device trace of the first N "
                              "steady-state steps into <output>/profile "
                              "(tpuseg extension; 0 disables)")
+    parser.add_argument("--batch_echo", dest="batch_echo", type=int, default=1,
+                        help="data echoing (arXiv:1907.05550): optimizer steps per "
+                             "fetched batch; with device augmentation each echo "
+                             "re-augments on device. For IO-bound deployments "
+                             "(tpuseg extension)")
     parser.add_argument("--log_every_n_steps", dest="log_every_n_steps", type=int, default=1,
                         help="read/print/log train metrics every N steps; metrics "
                              "accumulate on device between reads and the window mean "
@@ -127,6 +132,7 @@ def main(argv=None):
         shard_optimizer=bool(args.shard_optimizer),
         profile_steps=args.profile_steps,
         log_every_n_steps=args.log_every_n_steps,
+        batch_echo=args.batch_echo,
         augment_params=augment_params,
     )
     train_model(cfg)

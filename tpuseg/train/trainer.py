@@ -80,6 +80,14 @@ class TrainConfig:
     # <output_folder>/profile — opens in TensorBoard's profile plugin /
     # Perfetto (tpuseg extension; 0 disables)
     profile_steps: int = 0
+    # data echoing (Choi et al., arXiv:1907.05550): run N optimizer steps
+    # per fetched batch. With device augmentation each echo re-augments the
+    # raw batch on device (fresh RNG per step — "example echoing" after the
+    # augmentation stage); with host augmentation echoes repeat the exact
+    # batch ("batch echoing"). For deployments where storage/host IO, not
+    # the chip, is the bottleneck — this repo's own host pipeline has 5x
+    # headroom (BASELINE.md), so the default is off (tpuseg extension)
+    batch_echo: int = 1
     # read/print/TB-log train metrics every N steps instead of every step.
     # The reference prints per step (train.py:143-145) and that stays the
     # default (1) — but each print forces a device->host scalar readback
@@ -245,11 +253,13 @@ def train_model(config: TrainConfig) -> TrainResult:
 
             start_time = time.time()
             log_every = max(1, int(cfg.log_every_n_steps))
+            echo = max(1, int(cfg.batch_echo))
             win_loss = win_acc = None
             win_count = 0
             # reference runs steps 0..size inclusive (break on step > size)
             for step in range(cur_train_epoch_size + 1):
-                images, labels = next(train_iter)
+                if step % echo == 0:
+                    images, labels = next(train_iter)
                 state, metrics = tstep(state, images, labels)
                 # device-side accumulation: lazy scalar adds, no host sync
                 win_loss = metrics["loss"] if win_loss is None else win_loss + metrics["loss"]
