@@ -21,6 +21,7 @@ def test_train_cli_wiring(monkeypatch):
         "--dtype", "float32", "--device_augmentation", "0",
         "--resume_checkpoint", "ck", "--shard_optimizer", "1",
         "--profile_steps", "11", "--jitter_severity", "0.2",
+        "--log_every_n_steps", "5", "--batch_echo", "2",
     ])
     cfg = captured["cfg"]
     assert cfg.train_database == "tdb" and cfg.test_database == "vdb"
@@ -35,6 +36,7 @@ def test_train_cli_wiring(monkeypatch):
     assert cfg.dtype == "float32" and cfg.device_augment is False
     assert cfg.resume_checkpoint == "ck" and cfg.shard_optimizer is True
     assert cfg.profile_steps == 11
+    assert cfg.log_every_n_steps == 5 and cfg.batch_echo == 2
     assert cfg.augment_params.jitter_augmentation_severity == pytest.approx(0.2)
 
 
@@ -65,7 +67,7 @@ def test_inference_cli_wiring(monkeypatch):
         "--number_channels", "2", "--image_format", "png",
         "--tile_size", "512", "--batch_size", "4", "--radius", "96",
         "--dtype", "float32", "--no_data_parallel", "--streaming",
-        "--no_read_ahead",
+        "--no_read_ahead", "--auto_tile",
     ])
     cfg = captured["cfg"]
     assert cfg.checkpoint_filepath == "ck"
@@ -76,6 +78,7 @@ def test_inference_cli_wiring(monkeypatch):
     assert cfg.dtype == "float32"
     assert cfg.data_parallel is False and cfg.streaming is True
     assert cfg.read_ahead is False
+    assert cfg.auto_tile is True
 
 
 def test_inference_cli_defaults(monkeypatch):
@@ -92,6 +95,7 @@ def test_inference_cli_defaults(monkeypatch):
     assert cfg.radius is None             # -> ERF probe
     assert cfg.data_parallel is True and cfg.streaming is False
     assert cfg.read_ahead is True
+    assert cfg.auto_tile is False  # reference-geometry default
 
 
 def test_build_lmdb_cli_wiring(monkeypatch):
