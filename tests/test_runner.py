@@ -221,3 +221,35 @@ def test_inference_rejects_channel_mismatch(ckpt, tmp_path):
         batch_size=2, dtype="float32", base_features=2)
     with pytest.raises(ValueError, match="3 channel.*number_channels=1"):
         inference(cfg)
+
+
+def test_inference_runner_streaming_auto_tile(ckpt, tmp_path, capsys):
+    """--streaming --auto_tile: the chooser engages (capped by slide dims)
+    and the mask agrees with the fixed-geometry streamed mask everywhere
+    except near-tie pixels (a random-init model ties almost everywhere, so
+    exact cross-geometry equality is not the contract — the per-geometry
+    exactness is pinned in test_inference.py::test_streaming_matches_in_ram_tiled)."""
+    from tpuseg.utils import bigtiff
+
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 4096, size=(400, 330)).astype(np.uint16)
+    bigtiff.write_bigtiff(os.path.join(imgdir, "slide.tif"), img, tile=(128, 128))
+
+    def run(outname, auto):
+        outdir = str(tmp_path / outname)
+        os.makedirs(outdir)
+        cfg = InferenceConfig(
+            checkpoint_filepath=ckpt, image_folder=imgdir, output_folder=outdir,
+            number_classes=2, number_channels=1, tile_size=288, radius=96,
+            batch_size=2, dtype="float32", base_features=2, streaming=True,
+            auto_tile=auto)
+        return bigtiff.read_bigtiff(inference(cfg)[0])
+
+    fixed = run("fixed", False)
+    auto = run("auto", True)
+    assert "auto tile size: 320" in capsys.readouterr().out  # chooser engaged, capped
+    assert fixed.shape == auto.shape == (400, 330)
+    assert auto.dtype == np.uint8 and set(np.unique(auto)) <= {0, 1}
+    assert (fixed != auto).mean() < 0.02  # near-tie flips only

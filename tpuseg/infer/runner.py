@@ -102,9 +102,27 @@ def _inference_streaming(cfg: InferenceConfig, model, variables, predict_fn,
             if radius is None:
                 radius = estimate_radius(model, variables, cfg.number_channels)
                 print(f'Estimated radius based on ERF : "{radius}"')
+            tile = cfg.tile_size
+            if cfg.auto_tile:
+                from tpuseg.infer.tiled import MAX_AUTO_TILE, choose_tile_size
+
+                group = cfg.batch_size * (mesh.devices.size if mesh is not None else 1)
+                # streaming requires slide >= tile in both dims
+                cap = min(MAX_AUTO_TILE,
+                          (min(reader.height, reader.width) // 16) * 16)
+                try:
+                    tile = choose_tile_size(reader.height, reader.width, radius,
+                                            min_tile=min(512, cap),
+                                            max_tile=cap, chunk=group)
+                    print(f"  auto tile size: {tile}")
+                except ValueError:
+                    # slide too small for any halo-valid tile under the cap
+                    # (e.g. barely above the streaming threshold): keep the
+                    # configured tile
+                    pass
             out_path = os.path.join(cfg.output_folder, slide_name)
             inference_tiled_streaming(
-                reader, predict_fn, out_path, cfg.tile_size, radius,
+                reader, predict_fn, out_path, tile, radius,
                 cfg.batch_size, num_classes=cfg.number_classes, mesh=mesh)
         written.append(out_path)
     return written
