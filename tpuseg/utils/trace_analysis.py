@@ -1,0 +1,173 @@
+"""Per-op device-time analysis of jax.profiler traces.
+
+The roofline and remat findings in BASELINE.md (rounds 2-3) come from
+joining a ``jax.profiler`` device trace with the compiled-HLO op metadata;
+this module makes that analysis a reusable subsystem (SURVEY.md §5.1 —
+the reference has nothing beyond wall-clock prints, train.py:135) instead
+of an ad-hoc script:
+
+    python -m tpuseg.utils.trace_analysis <profile_dir> [--top N]
+
+``<profile_dir>`` is what ``--profile_steps`` wrote (the directory holding
+``plugins/profile/<ts>/*.xplane.pb``). Output: total device time and
+achieved FLOP/s (XLA's per-op flop counts), the share of rematerialized
+ops, fwd/bwd convolution / BatchNorm / pool / RNG / collective breakdowns
+(classified from the per-op ``tf_op`` jax path metadata), and the top-N
+ops.
+
+Parsing uses the TF-bundled XPlane protobuf (imported lazily — TF is a
+test-only dependency elsewhere in the repo too). TPU device traces carry
+an "XLA Ops" line on the ``/device:TPU:N`` plane; host-only (CPU) traces
+have no device plane and are reported as such rather than guessed at.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections import Counter
+from typing import Dict, List, Optional, Tuple
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter", "collective-permute")
+
+
+def classify_op(name: str, tf_op: str = "") -> str:
+    """Category for one XLA op: ``name`` is the HLO definition text,
+    ``tf_op`` the jax op path from trace metadata (e.g.
+    ``jit(..)/transpose(jvp(UNet))/enc1a/bn/reduce_sum``). Remat duplicates
+    are counted as their own category — their time is spent twice."""
+    if ".remat" in name:
+        return "remat"
+    if any(c in name for c in _COLLECTIVES):
+        return "collective"
+    direction = "bwd" if "transpose(jvp" in tf_op else "fwd"
+    if "/bn/" in tf_op:
+        return f"batchnorm_{direction}"
+    if "conv_general_dilated" in tf_op or "conv_transpose" in tf_op:
+        return f"conv_{direction}"
+    if "select_and_scatter" in tf_op or "reduce_window" in tf_op or "max_pool" in tf_op:
+        return f"pool_{direction}"
+    if any(k in tf_op for k in ("bernoulli", "threefry", "random_bits", "_uniform")):
+        return "rng"
+    return "other"
+
+
+def find_xplane(profile_dir: str) -> Optional[str]:
+    """Newest .xplane.pb under a --profile_steps output directory."""
+    hits = glob.glob(os.path.join(profile_dir, "**", "*.xplane.pb"), recursive=True)
+    return max(hits, key=os.path.getmtime) if hits else None
+
+
+def analyze(profile_dir: str, top: int = 25) -> Dict:
+    """Aggregate device-op time.
+
+    Returns ``{"device_plane": str|None, "total_ms": float, "steps": int,
+    "tflops_per_sec": float, "categories": {cat: ms},
+    "top_ops": [(ms, share, name), ...]}``. ``device_plane`` is None (and
+    the rest empty) for host-only traces.
+    """
+    fp = find_xplane(profile_dir)
+    if fp is None:
+        raise IOError(f"no .xplane.pb under {profile_dir} — did --profile_steps run?")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # lazy: heavy import
+
+    xs = xplane_pb2.XSpace()
+    with open(fp, "rb") as f:
+        xs.ParseFromString(f.read())
+
+    plane = None
+    for p in xs.planes:
+        if p.name.startswith("/device:") and any(
+                l.name == "XLA Ops" and l.events for l in p.lines):
+            plane = p
+            break
+    if plane is None:
+        return {"device_plane": None, "total_ms": 0.0, "steps": 0,
+                "tflops_per_sec": 0.0, "categories": {}, "top_ops": [],
+                "note": "no device XLA-op plane (host-only trace?)"}
+
+    sm = plane.stat_metadata
+    em = plane.event_metadata
+
+    def md_stats(md) -> Tuple[str, float]:
+        tf_op, flops = "", 0.0
+        for st in md.stats:
+            sname = sm[st.metadata_id].name
+            if sname == "tf_op":
+                tf_op = st.str_value
+            elif sname == "flops":
+                flops = float(st.int64_value or st.uint64_value)
+        return tf_op, flops
+
+    steps = 0
+    agg: Counter = Counter()
+    flops_total = 0.0
+    meta_cache: Dict[int, Tuple[str, str, float]] = {}  # id -> (name, tf_op, flops)
+    for line in plane.lines:
+        if line.name == "Steps":
+            steps = len(line.events)
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            mid = ev.metadata_id
+            if mid not in meta_cache:
+                md = em[mid]
+                tf_op, flops = md_stats(md)
+                meta_cache[mid] = (md.name, tf_op, flops)
+            name, _tf_op, flops = meta_cache[mid]
+            agg[mid] += ev.duration_ps
+            flops_total += flops
+
+    total_ps = sum(agg.values())
+    cats: Counter = Counter()
+    for mid, ps in agg.items():
+        name, tf_op, _ = meta_cache[mid]
+        cats[classify_op(name, tf_op)] += ps
+    top_ops = [(ps / 1e9, ps / total_ps if total_ps else 0.0, meta_cache[mid][0])
+               for mid, ps in agg.most_common(top)]
+    return {
+        "device_plane": plane.name,
+        "total_ms": total_ps / 1e9,
+        "steps": steps,
+        # flops are per-execution; duration sums over executions too, so the
+        # ratio is the true achieved rate over the traced window
+        "tflops_per_sec": (flops_total / (total_ps / 1e12) / 1e12) if total_ps else 0.0,
+        "categories": {k: v / 1e9 for k, v in cats.most_common()},
+        "top_ops": top_ops,
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="trace_analysis",
+        description="Aggregate per-op device time from a jax.profiler trace "
+                    "(the --profile_steps output)")
+    parser.add_argument("profile_dir", type=str,
+                        help="directory holding plugins/profile/<ts>/*.xplane.pb")
+    parser.add_argument("--top", type=int, default=25,
+                        help="how many ops to list")
+    args = parser.parse_args(argv)
+
+    r = analyze(args.profile_dir, args.top)
+    if r["device_plane"] is None:
+        print(r["note"])
+        return
+    per_step = f" ({r['total_ms'] / r['steps']:.1f} ms/step over {r['steps']} steps)" \
+        if r["steps"] else ""
+    print(f"device plane: {r['device_plane']}")
+    print(f"total device time: {r['total_ms']:.1f} ms{per_step}")
+    print(f"achieved compute: {r['tflops_per_sec']:.1f} TFLOP/s "
+          f"(XLA per-op flop counts; v5e bf16 peak 197)")
+    print("\nby category ('remat' time is work spent twice — HBM-pressure "
+          "recompute):")
+    for cat, ms in r["categories"].items():
+        print(f"  {cat:<14} {ms:9.2f} ms  {ms / r['total_ms'] * 100:5.1f}%")
+    print(f"\ntop {len(r['top_ops'])} ops:")
+    for ms, share, name in r["top_ops"]:
+        print(f"  {ms:8.2f} ms  {share * 100:5.1f}%  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
