@@ -300,3 +300,53 @@ def test_auto_tile_matches_fixed_tile_outputs(tiny):
     # property, inference.py:75-95)
     np.testing.assert_array_equal(fixed[96:-96, 96:-96], auto[96:-96, 96:-96])
     assert (fixed != auto).mean() < 1e-3
+
+
+def test_streaming_consumer_failure_releases_producer(tiny, tmp_path, monkeypatch):
+    """If the consumer loop raises (writer failure), the one-slot producer
+    thread must exit instead of blocking forever in q.put with a full group
+    of decoded halo windows pinned (review r3; same class as the
+    runner._read_ahead fix)."""
+    import threading
+    import time
+
+    from tpuseg.infer import tiled as tiled_mod
+    from tpuseg.utils import bigtiff
+
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 4096, size=(640, 480)).astype(np.uint16)
+    src = str(tmp_path / "slide.tif")
+    bigtiff.write_bigtiff(src, img, tile=(128, 128))
+
+    class _BoomWriter:
+        def __init__(self, *a, **k):
+            pass
+
+        def put_tile(self, *a):
+            raise IOError("writer disk full")
+
+        def abort(self):
+            pass
+
+    monkeypatch.setattr(tiled_mod, "BigTiffTileWriter", _BoomWriter, raising=False)
+    # the streaming fn imports the writer inside its body — patch the source
+    from tpuseg.utils import bigtiff as bigtiff_mod
+
+    monkeypatch.setattr(bigtiff_mod, "BigTiffTileWriter", _BoomWriter)
+
+    with bigtiff.BigTiffReader(src) as reader:
+        with pytest.raises(IOError, match="disk full"):
+            tiled_mod.inference_tiled_streaming(
+                reader, predict, str(tmp_path / "mask.tif"), tile_size=288,
+                radius=96, batch_size=1, num_classes=3, progress=False)
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            if not [t for t in threading.enumerate()
+                    if t.name == "tpuseg-stream-read" and t.is_alive()]:
+                break
+            time.sleep(0.05)
+    assert not [t for t in threading.enumerate()
+                if t.name == "tpuseg-stream-read" and t.is_alive()], \
+        "streaming producer still alive after consumer failure"

@@ -292,3 +292,42 @@ def test_reader_names_big_endian_rejection(tmp_path):
     (db / "data.mdb").write_bytes(bytes(page) * 2)
     with pytest.raises(IOError, match="big-endian"):
         LmdbReader(str(db))
+
+
+def test_convert_db_aborts_partial_output(tmp_path, monkeypatch):
+    """A mid-copy failure must not leave a valid-looking truncated output
+    database behind (review r3): the output dir is removed and the error
+    propagates."""
+    from tpuseg.cli.convert_db import convert
+    from tpuseg.data import recordstore
+
+    db, _ = _reference_style_db(tmp_path)
+    out = str(tmp_path / "partial-out")
+
+    real = recordstore.LmdbRecordReader.get_at
+
+    def flaky(self, i):
+        if i == 3:
+            raise IOError("disk vanished mid-copy")
+        return real(self, i)
+
+    monkeypatch.setattr(recordstore.LmdbRecordReader, "get_at", flaky)
+    with pytest.raises(IOError, match="mid-copy"):
+        convert(db, out, "tsr")
+    assert not os.path.exists(out)
+
+
+def test_reader_truncated_midpage_raises_ioerror(tmp_path):
+    """A file cut mid-page raises IOError (the module's corruption
+    contract), never struct.error or silently-short records."""
+    db = str(tmp_path / "cut.lmdb")
+    with LmdbWriter(db) as w:
+        for i in range(50):
+            w.put(f"k{i:03d}:0".encode(), b"v" * 3000)
+    path = os.path.join(db, "data.mdb")
+    size = os.path.getsize(path)
+    for cut in (size - 1, size - 100, size - DEFAULT_PSIZE - 7):
+        with open(path, "r+b") as f:
+            f.truncate(cut)
+        with pytest.raises(IOError):
+            LmdbReader(db)

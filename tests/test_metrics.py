@@ -152,3 +152,15 @@ def test_evaluate_folder_shape_mismatch_is_not_swallowed(tmp_path):
         evaluate_folder(str(pred_dir), str(truth_dir), num_classes=2)
     with pytest.raises(ValueError, match="shape mismatch"):
         _bincount_cm(np.zeros((4, 6), np.int32), np.zeros((6, 4), np.int32), 2)
+
+
+def test_bincount_cm_allows_trailing_singleton_channel():
+    """(H,W) vs (H,W,1) pairs are benign (imread preserves HWC1) and must
+    score identically to the squeezed pair — only true geometry mismatches
+    raise."""
+    from tpuseg.ops.metrics import _bincount_cm
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2, (16, 24)).astype(np.int32)
+    cm = _bincount_cm(a, a[..., None], 2)
+    np.testing.assert_array_equal(cm, _bincount_cm(a, a, 2))

@@ -32,8 +32,16 @@ def convert(input_db: str, output_db: str, fmt: str) -> int:
             keys = reader.keys()
             for i, key in enumerate(keys):
                 writer.put(key, reader.get_at(i))
-        finally:
             writer.close()
+        except BaseException:
+            # abort, don't commit: close() finalizes a valid-looking
+            # database holding only the records copied so far — a silently
+            # truncated dataset that would train without error
+            try:
+                writer.close()
+            finally:
+                shutil.rmtree(output_db, ignore_errors=True)
+            raise
         count = len(keys)
     finally:
         reader.close()

@@ -162,6 +162,11 @@ class LmdbReader:
                     f"promises {self._entries} in {data}")
             for i, (k, _, _, _) in enumerate(self._index):
                 self._by_key[k] = i
+        except struct.error as e:
+            # normalize parse-time struct errors to the module's corruption
+            # contract (every other corrupt-input path raises IOError)
+            self._mm.close()
+            raise IOError(f"lmdb: corrupt database structure in {data}: {e}")
         except Exception:
             self._mm.close()
             raise
@@ -172,12 +177,10 @@ class LmdbReader:
         mm = self._mm
         if len(mm) < 2 * PAGEHDRSZ:
             raise IOError(f"lmdb: file too small: {self._path}")
-        # psize is self-describing (meta 0 always sits at offset 0); probe
-        # with the minimum page size then re-read both metas at true psize
+        # psize is self-describing: meta 0 always sits at byte 0, so this
+        # probe is psize-independent; the true psize read from it then
+        # locates meta page 1
         m0 = _parse_meta(mm, 0, DEFAULT_PSIZE)
-        if m0 is None:
-            # non-4K psize moves meta page 1, but meta 0 is always at 0
-            m0 = _parse_meta(mm, 0, 512)
         if m0 is None:
             (swapped,) = struct.unpack_from(">I", mm, PAGEHDRSZ)
             if swapped == MDB_MAGIC:
@@ -203,9 +206,13 @@ class LmdbReader:
         self._entries = meta.main_entries
         self._depth_limit = max(meta.main_depth, 1) + 1
 
-    def _page(self, pgno: int) -> int:
+    def _page(self, pgno: int, full: bool = False) -> int:
+        """Byte offset of page ``pgno``; ``full=True`` requires the whole
+        page inside the file (branch/leaf pages — a truncated file must
+        raise IOError here, not struct.error/short-slice downstream)."""
         off = pgno * self._psize
-        if pgno == P_INVALID or off + PAGEHDRSZ > len(self._mm):
+        need = self._psize if full else PAGEHDRSZ
+        if pgno == P_INVALID or off + need > len(self._mm):
             raise IOError(f"lmdb: page {pgno} out of bounds in {self._path}")
         return off
 
@@ -213,7 +220,7 @@ class LmdbReader:
         if depth > self._depth_limit:
             raise IOError(f"lmdb: B+tree deeper than meta depth in {self._path}")
         mm = self._mm
-        off = self._page(pgno)
+        off = self._page(pgno, full=True)
         _pg, _pad, flags, lower, upper = _PAGEHDR.unpack_from(mm, off)
         if flags & P_LEAF2:
             raise IOError(f"lmdb: LEAF2 (fixed-size key) pages unsupported in {self._path}")

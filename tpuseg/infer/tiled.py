@@ -492,20 +492,37 @@ def inference_tiled_streaming(
 
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=1)
     _end = object()
+    stop = threading.Event()  # set when the consumer abandons mid-stream
+
+    def _put(item) -> bool:
+        # bounded put that gives up once the consumer is gone — otherwise a
+        # consumer exception (writer/device failure) would leave this thread
+        # blocked in q.put forever, pinning a full group of decoded halo
+        # windows for process life (same bug class as runner._read_ahead)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                pass
+        return False
 
     def produce():
         try:
             for s in range(0, len(placements), group_size):
+                if stop.is_set():
+                    return
                 group = placements[s:s + group_size]
                 windows = [reader.read_region(y_st, x_st, tile_size, tile_size)
                            for (_, _, _, _, y_st, x_st) in group]
                 while len(windows) < group_size:  # static-shape tail padding
                     windows.append(windows[-1])
-                q.put((group, np.stack(windows)))
+                if not _put((group, np.stack(windows))):
+                    return
         except BaseException as e:
-            q.put(e)
+            _put(e)
             return
-        q.put(_end)
+        _put(_end)
 
     threading.Thread(target=produce, daemon=True,
                      name="tpuseg-stream-read").start()
@@ -532,6 +549,8 @@ def inference_tiled_streaming(
     except BaseException:
         writer.abort()
         raise
+    finally:
+        stop.set()  # release the producer on every exit path
     return out_path
 
 

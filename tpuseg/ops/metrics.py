@@ -65,6 +65,12 @@ def _bincount_cm(pred, true, num_classes):
 
     p = np.asarray(pred)
     t = np.asarray(true)
+    # trailing singleton channels are benign: imread preserves HW vs HWC1
+    # (utils/imagio), and both ravel to identically-paired pixel streams
+    if p.ndim == 3 and p.shape[-1] == 1:
+        p = p[..., 0]
+    if t.ndim == 3 and t.shape[-1] == 1:
+        t = t[..., 0]
     if p.shape != t.shape:
         # ravelling equal-sized but differently-shaped masks (e.g. a
         # transposed HxW) would silently mis-pair pixels

@@ -256,10 +256,12 @@ def train_model(config: TrainConfig) -> TrainResult:
             echo = max(1, int(cfg.batch_echo))
             win_loss = win_acc = None
             win_count = 0
+            win_images = 0  # data actually fetched (echoed steps reuse it)
             # reference runs steps 0..size inclusive (break on step > size)
             for step in range(cur_train_epoch_size + 1):
                 if step % echo == 0:
                     images, labels = next(train_iter)
+                    win_images += global_batch_size
                 state, metrics = tstep(state, images, labels)
                 # device-side accumulation: lazy scalar adds, no host sync
                 win_loss = metrics["loss"] if win_loss is None else win_loss + metrics["loss"]
@@ -272,7 +274,9 @@ def train_model(config: TrainConfig) -> TrainResult:
                         or profile_ctx is not None):
                     loss = float(win_loss) / win_count  # syncs the step chain
                     acc = float(win_acc) / win_count
-                    meter.update(global_batch_size * win_count)
+                    # images_per_sec reports DATA consumed — with batch_echo
+                    # the echoed optimizer steps reprocess the same fetch
+                    meter.update(win_images)
                     print(f"Train Epoch {epoch}: Batch {step}/{train_epoch_size}: "
                           f"Loss {loss} Accuracy = {acc}")
                     global_step = int(epoch * train_epoch_size + step)
@@ -283,6 +287,7 @@ def train_model(config: TrainConfig) -> TrainResult:
                     final_train_loss = loss
                     win_loss = win_acc = None
                     win_count = 0
+                    win_images = 0
                 if profile_ctx is not None and (
                         step + 1 >= cfg.profile_steps
                         or step == cur_train_epoch_size):
