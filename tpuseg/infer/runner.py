@@ -268,9 +268,15 @@ def inference(cfg: InferenceConfig) -> List[str]:
             if cfg.auto_tile:
                 from tpuseg.infer.tiled import choose_tile_size
 
-                tile = choose_tile_size(img.shape[0], img.shape[1], radius,
-                                        chunk=flush_n)
-                print(f"  auto tile size: {tile}")
+                try:
+                    tile = choose_tile_size(img.shape[0], img.shape[1], radius,
+                                            chunk=flush_n)
+                    print(f"  auto tile size: {tile}")
+                except ValueError:
+                    # no halo-valid tile in the search range (e.g. a large
+                    # manual --radius): keep the configured tile, whose own
+                    # zor assert gives the actionable error if it's invalid
+                    pass
             # z-score fuses into the device program: the (often uint16)
             # image ships in its native dtype — half the transfer bytes of
             # the host-normalized float32 the reference sends (inference.py:206)
