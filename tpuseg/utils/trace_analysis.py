@@ -89,20 +89,23 @@ def analyze(profile_dir: str, top: int = 25) -> Dict:
     sm = plane.stat_metadata
     em = plane.event_metadata
 
-    def md_stats(md) -> Tuple[str, float]:
-        tf_op, flops = "", 0.0
+    def md_stats(md) -> Tuple[str, float, float]:
+        tf_op, flops, bbytes = "", 0.0, 0.0
         for st in md.stats:
             sname = sm[st.metadata_id].name
             if sname == "tf_op":
                 tf_op = st.str_value
             elif sname == "flops":
                 flops = float(st.int64_value or st.uint64_value)
-        return tf_op, flops
+            elif sname == "bytes_accessed":
+                bbytes = float(st.int64_value or st.uint64_value)
+        return tf_op, flops, bbytes
 
     steps = 0
     agg: Counter = Counter()
     flops_total = 0.0
-    meta_cache: Dict[int, Tuple[str, str, float]] = {}  # id -> (name, tf_op, flops)
+    bytes_total = 0.0
+    meta_cache: Dict[int, Tuple[str, str, float, float]] = {}  # id -> (name, tf_op, flops, bytes)
     for line in plane.lines:
         if line.name == "Steps":
             steps = len(line.events)
@@ -112,16 +115,17 @@ def analyze(profile_dir: str, top: int = 25) -> Dict:
             mid = ev.metadata_id
             if mid not in meta_cache:
                 md = em[mid]
-                tf_op, flops = md_stats(md)
-                meta_cache[mid] = (md.name, tf_op, flops)
-            name, _tf_op, flops = meta_cache[mid]
+                tf_op, flops, bbytes = md_stats(md)
+                meta_cache[mid] = (md.name, tf_op, flops, bbytes)
+            name, _tf_op, flops, bbytes = meta_cache[mid]
             agg[mid] += ev.duration_ps
             flops_total += flops
+            bytes_total += bbytes
 
     total_ps = sum(agg.values())
     cats: Counter = Counter()
     for mid, ps in agg.items():
-        name, tf_op, _ = meta_cache[mid]
+        name, tf_op, _, _ = meta_cache[mid]
         cats[classify_op(name, tf_op)] += ps
     top_ops = [(ps / 1e9, ps / total_ps if total_ps else 0.0, meta_cache[mid][0])
                for mid, ps in agg.most_common(top)]
@@ -132,6 +136,9 @@ def analyze(profile_dir: str, top: int = 25) -> Dict:
         # flops are per-execution; duration sums over executions too, so the
         # ratio is the true achieved rate over the traced window
         "tflops_per_sec": (flops_total / (total_ps / 1e12) / 1e12) if total_ps else 0.0,
+        # XLA cost-analysis bytes are UNPADDED logical bytes; real HBM
+        # traffic is higher wherever layouts pad (C=64 pads 2x in bf16)
+        "logical_gb_per_sec": (bytes_total / (total_ps / 1e12) / 1e9) if total_ps else 0.0,
         "categories": {k: v / 1e9 for k, v in cats.most_common()},
         "top_ops": top_ops,
     }
@@ -160,6 +167,9 @@ def main(argv=None):
     print(f"total device time: {r['total_ms']:.1f} ms{per_step}")
     print(f"achieved compute: {r['tflops_per_sec']:.1f} TFLOP/s "
           f"(XLA per-op flop counts; v5e bf16 peak 197)")
+    print(f"logical bandwidth: {r['logical_gb_per_sec']:.0f} GB/s "
+          f"(unpadded cost-analysis bytes; padded HBM traffic is higher, "
+          f"v5e peak ~819)")
     print("\nby category ('remat' time is work spent twice — HBM-pressure "
           "recompute):")
     for cat, ms in r["categories"].items():
