@@ -331,3 +331,23 @@ def test_reader_truncated_midpage_raises_ioerror(tmp_path):
             f.truncate(cut)
         with pytest.raises(IOError):
             LmdbReader(db)
+
+
+@pytest.mark.parametrize("psize", [512, 8192])
+def test_roundtrip_nonstandard_page_size(tmp_path, psize):
+    """psize is self-describing (free-DB md_pad); meta page 1 moves with it
+    and the reader must follow. 512 forces tiny leaves (many branch
+    levels), 8192 exercises the large-page path."""
+    rng = np.random.default_rng(7)
+    items = {f"k{i:04d}:0".encode(): rng.integers(0, 255, int(rng.integers(1, 3000)),
+                                                  dtype=np.uint8).tobytes()
+             for i in range(300)}
+    db = str(tmp_path / f"ps{psize}.lmdb")
+    with LmdbWriter(db, psize=psize) as w:
+        for k, v in items.items():
+            w.put(k, v)
+    with LmdbReader(db) as r:
+        assert r._psize == psize
+        assert r.keys() == sorted(items)
+        for i, k in enumerate(r.keys()):
+            assert r.get_at(i) == items[k]
