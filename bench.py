@@ -60,12 +60,13 @@ def _throughput_fields(images_per_sec: float, hw: int) -> dict:
     """MFU evidence attached to every training-bench JSON line so the number
     is self-interpreting (VERDICT r2 weak #3): 74 img/s at 512^2 is ~49% MFU
     on a v5e — chip saturation, not stagnation."""
-    tflops = images_per_sec * unet_train_flops_per_image(hw) / 1e12
+    flops = unet_train_flops_per_image(hw)
+    tflops = images_per_sec * flops / 1e12
     return {
         "tflops_per_sec": round(tflops, 1),
         "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 3),
         "peak_tflops": V5E_BF16_PEAK_TFLOPS,
-        "flops_per_image": round(unet_train_flops_per_image(hw) / 1e9, 1),
+        "flops_per_image": round(flops / 1e9, 1),
     }
 
 

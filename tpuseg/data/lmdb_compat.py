@@ -152,7 +152,7 @@ class LmdbReader:
         self._path = data
         try:
             self._open_meta()
-            self._index: List[Tuple[bytes, int, int, int]] = []  # key, kind, off, len
+            self._index: List[Tuple[bytes, int, int]] = []  # key, off, len
             self._by_key: Dict[bytes, int] = {}
             if self._root != P_INVALID:
                 self._walk(self._root, 0)
@@ -160,7 +160,7 @@ class LmdbReader:
                 raise IOError(
                     f"lmdb: walked {len(self._index)} records but meta "
                     f"promises {self._entries} in {data}")
-            for i, (k, _, _, _) in enumerate(self._index):
+            for i, (k, _, _) in enumerate(self._index):
                 self._by_key[k] = i
         except struct.error as e:
             # normalize parse-time struct errors to the module's corruption
@@ -254,12 +254,12 @@ class LmdbReader:
                 if dsize + PAGEHDRSZ > npages * self._psize or \
                         ovoff + PAGEHDRSZ + dsize > len(mm):
                     raise IOError(f"lmdb: overflow chain too short for record on page {ovpg}")
-                self._index.append((key, 1, ovoff + PAGEHDRSZ, dsize))
+                self._index.append((key, ovoff + PAGEHDRSZ, dsize))
             else:
                 doff = koff + ksize
                 if doff + dsize > off + self._psize:
                     raise IOError(f"lmdb: inline data runs off page {pgno} in {self._path}")
-                self._index.append((key, 0, doff, dsize))
+                self._index.append((key, doff, dsize))
 
     # -- read API (RecordReader-shaped) --
 
@@ -267,10 +267,10 @@ class LmdbReader:
         return len(self._index)
 
     def keys(self) -> List[bytes]:
-        return [k for k, _, _, _ in self._index]
+        return [k for k, _, _ in self._index]
 
     def get_at(self, i: int) -> bytes:
-        _, _, off, length = self._index[i]
+        _, off, length = self._index[i]
         return bytes(self._mm[off:off + length])
 
     def get(self, key) -> bytes:
@@ -282,7 +282,7 @@ class LmdbReader:
         return self.get_at(i)
 
     def items(self) -> Iterator[Tuple[bytes, bytes]]:
-        for i, (k, _, _, _) in enumerate(self._index):
+        for i, (k, _, _) in enumerate(self._index):
             yield k, self.get_at(i)
 
     def __iter__(self) -> Iterator[bytes]:

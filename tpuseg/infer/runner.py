@@ -10,7 +10,6 @@ read-ahead thread; the tile grid shards over all local devices.
 from __future__ import annotations
 
 import os
-import queue
 import threading
 from dataclasses import dataclass
 from typing import List, Optional
@@ -30,6 +29,7 @@ from tpuseg.infer.tiled import (
 from tpuseg.models.unet import UNet
 from tpuseg.train.steps import create_train_state
 from tpuseg.utils.checkpoint import restore_model_variables
+from tpuseg.utils.queues import CancellableQueue
 from tpuseg.utils.imagio import imread, imwrite
 
 
@@ -104,28 +104,34 @@ def _inference_streaming(cfg: InferenceConfig, model, variables, predict_fn,
                 print(f'Estimated radius based on ERF : "{radius}"')
             tile = cfg.tile_size
             if cfg.auto_tile:
-                from tpuseg.infer.tiled import MAX_AUTO_TILE, choose_tile_size
-
-                group = cfg.batch_size * (mesh.devices.size if mesh is not None else 1)
-                # streaming requires slide >= tile in both dims
-                cap = min(MAX_AUTO_TILE,
-                          (min(reader.height, reader.width) // 16) * 16)
-                try:
-                    tile = choose_tile_size(reader.height, reader.width, radius,
-                                            min_tile=min(512, cap),
-                                            max_tile=cap, chunk=group)
-                    print(f"  auto tile size: {tile}")
-                except ValueError:
-                    # slide too small for any halo-valid tile under the cap
-                    # (e.g. barely above the streaming threshold): keep the
-                    # configured tile
-                    pass
+                tile = _auto_tile(cfg, reader.height, reader.width, radius,
+                                  mesh, max_dim=min(reader.height, reader.width))
             out_path = os.path.join(cfg.output_folder, slide_name)
             inference_tiled_streaming(
                 reader, predict_fn, out_path, tile, radius,
                 cfg.batch_size, num_classes=cfg.number_classes, mesh=mesh)
         written.append(out_path)
     return written
+
+
+def _auto_tile(cfg: InferenceConfig, height: int, width: int, radius: int,
+               mesh, max_dim: Optional[int] = None) -> int:
+    """The per-image tile choice for ``--auto_tile``: slot-cost-optimal
+    geometry (infer.tiled.choose_tile_size) with the device group as the
+    chunk, capped by ``max_dim`` (streaming requires slide >= tile), and
+    degrading to the configured tile when no halo-valid size exists (e.g.
+    a large manual --radius, or a slide barely above the threshold)."""
+    from tpuseg.infer.tiled import MAX_AUTO_TILE, choose_tile_size
+
+    group = cfg.batch_size * (mesh.devices.size if mesh is not None else 1)
+    cap = MAX_AUTO_TILE if max_dim is None else min(MAX_AUTO_TILE, (max_dim // 16) * 16)
+    try:
+        tile = choose_tile_size(height, width, radius,
+                                min_tile=min(512, cap), max_tile=cap, chunk=group)
+        print(f"  auto tile size: {tile}")
+        return tile
+    except ValueError:
+        return cfg.tile_size
 
 
 def _check_channels(img_shape, number_channels: int, path: str) -> None:
@@ -153,34 +159,24 @@ def _read_ahead(paths: List[str], depth: int = 1, enabled: bool = True):
             img = imread(p)
             yield p, img, zscore_stats(img)
         return
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    # cancellable so an abandoned generator (e.g. inference raised on one
+    # image) releases the producer instead of pinning it plus ~2 decoded
+    # images for process life
+    q = CancellableQueue(maxsize=depth)
     _end = object()
-    stop = threading.Event()  # set when the consumer abandons the generator
-
-    def _put(item) -> bool:
-        """Bounded put that gives up once the consumer is gone — otherwise
-        an abandoned generator (e.g. inference raised on one image) would
-        pin the producer thread plus ~2 decoded images for process life."""
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.1)
-                return True
-            except queue.Full:
-                pass
-        return False
 
     def worker():
         try:
             for p in paths:
-                if stop.is_set():
+                if q.stopped():
                     return
                 img = imread(p)
-                if not _put((p, img, zscore_stats(img))):
+                if not q.put((p, img, zscore_stats(img))):
                     return
         except BaseException as e:  # propagate into the consumer
-            _put(e)
+            q.put(e)
             return
-        _put(_end)
+        q.put(_end)
 
     threading.Thread(target=worker, daemon=True, name="tpuseg-infer-read").start()
     try:
@@ -194,7 +190,7 @@ def _read_ahead(paths: List[str], depth: int = 1, enabled: bool = True):
     finally:
         # runs on normal exhaustion, consumer exception, and generator
         # close() alike; lets the producer drain out
-        stop.set()
+        q.stop()
 
 
 def inference(cfg: InferenceConfig) -> List[str]:
@@ -266,17 +262,7 @@ def inference(cfg: InferenceConfig) -> List[str]:
                 print(f'Estimated radius based on ERF : "{radius}"')
             tile = cfg.tile_size
             if cfg.auto_tile:
-                from tpuseg.infer.tiled import choose_tile_size
-
-                try:
-                    tile = choose_tile_size(img.shape[0], img.shape[1], radius,
-                                            chunk=flush_n)
-                    print(f"  auto tile size: {tile}")
-                except ValueError:
-                    # no halo-valid tile in the search range (e.g. a large
-                    # manual --radius): keep the configured tile, whose own
-                    # zor assert gives the actionable error if it's invalid
-                    pass
+                tile = _auto_tile(cfg, img.shape[0], img.shape[1], radius, mesh)
             # z-score fuses into the device program: the (often uint16)
             # image ships in its native dtype — half the transfer bytes of
             # the host-normalized float32 the reference sends (inference.py:206)

@@ -487,42 +487,32 @@ def inference_tiled_streaming(
     # one-slot producer thread: the next group's region reads + zlib decode
     # overlap the device compute of the current group (the reader's tile LRU
     # is touched only from this thread)
-    import queue as queue_mod
     import threading
 
-    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=1)
-    _end = object()
-    stop = threading.Event()  # set when the consumer abandons mid-stream
+    from tpuseg.utils.queues import CancellableQueue
 
-    def _put(item) -> bool:
-        # bounded put that gives up once the consumer is gone — otherwise a
-        # consumer exception (writer/device failure) would leave this thread
-        # blocked in q.put forever, pinning a full group of decoded halo
-        # windows for process life (same bug class as runner._read_ahead)
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.1)
-                return True
-            except queue_mod.Full:
-                pass
-        return False
+    # cancellable so a consumer failure (writer/device) releases this
+    # thread instead of pinning it plus a decoded window group for process
+    # life (same bug class as runner._read_ahead)
+    q = CancellableQueue(maxsize=1)
+    _end = object()
 
     def produce():
         try:
             for s in range(0, len(placements), group_size):
-                if stop.is_set():
+                if q.stopped():
                     return
                 group = placements[s:s + group_size]
                 windows = [reader.read_region(y_st, x_st, tile_size, tile_size)
                            for (_, _, _, _, y_st, x_st) in group]
                 while len(windows) < group_size:  # static-shape tail padding
                     windows.append(windows[-1])
-                if not _put((group, np.stack(windows))):
+                if not q.put((group, np.stack(windows))):
                     return
         except BaseException as e:
-            _put(e)
+            q.put(e)
             return
-        _put(_end)
+        q.put(_end)
 
     threading.Thread(target=produce, daemon=True,
                      name="tpuseg-stream-read").start()
@@ -550,7 +540,7 @@ def inference_tiled_streaming(
         writer.abort()
         raise
     finally:
-        stop.set()  # release the producer on every exit path
+        q.stop()  # release the producer on every exit path
     return out_path
 
 
