@@ -253,3 +253,23 @@ def test_inference_runner_streaming_auto_tile(ckpt, tmp_path, capsys):
     assert fixed.shape == auto.shape == (400, 330)
     assert auto.dtype == np.uint8 and set(np.unique(auto)) <= {0, 1}
     assert (fixed != auto).mean() < 0.02  # near-tie flips only
+
+
+def test_auto_tile_fallback_requires_halo_valid_configured_tile():
+    """When the slot-cost search has no candidate (ValueError), _auto_tile may
+    degrade to the configured tile ONLY if that tile satisfies the zor rule
+    zor = tile - 2*radius >= radius (inference.py:58-59); otherwise the
+    actionable search error must propagate instead of dying later inside the
+    tiled program with a bare geometry assert."""
+    from tpuseg.infer.runner import _auto_tile
+
+    cfg = InferenceConfig(
+        checkpoint_filepath="unused", image_folder="unused",
+        output_folder="unused", number_classes=2, number_channels=1,
+        tile_size=1024, radius=96, batch_size=8)
+    # max_dim caps the search below any halo-valid candidate for radius=512,
+    # but the configured 1024 tile is halo-valid for radius=96 -> degrade.
+    assert _auto_tile(cfg, 600, 600, 96, None, max_dim=200) == 1024
+    # radius=512 makes the configured 1024 tile halo-invalid (zor=0): raise.
+    with pytest.raises(ValueError):
+        _auto_tile(cfg, 5000, 5000, 512, None, max_dim=200)

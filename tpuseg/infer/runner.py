@@ -120,10 +120,11 @@ def _auto_tile(cfg: InferenceConfig, height: int, width: int, radius: int,
     geometry (infer.tiled.choose_tile_size) with the device group as the
     chunk, capped by ``max_dim`` (streaming requires slide >= tile), and
     degrading to the configured tile when no halo-valid size exists (e.g.
-    a large manual --radius, or a slide barely above the threshold)."""
+    a slide barely above the threshold) — provided that tile is itself
+    halo-valid, else the actionable search error propagates."""
     from tpuseg.infer.tiled import MAX_AUTO_TILE, choose_tile_size
 
-    group = cfg.batch_size * (mesh.devices.size if mesh is not None else 1)
+    group = _group_size(cfg, mesh)
     cap = MAX_AUTO_TILE if max_dim is None else min(MAX_AUTO_TILE, (max_dim // 16) * 16)
     try:
         tile = choose_tile_size(height, width, radius,
@@ -131,7 +132,18 @@ def _auto_tile(cfg: InferenceConfig, height: int, width: int, radius: int,
         print(f"  auto tile size: {tile}")
         return tile
     except ValueError:
-        return cfg.tile_size
+        if cfg.tile_size - 2 * radius >= radius:  # zor rule, inference.py:58-59
+            return cfg.tile_size
+        raise
+
+
+def _group_size(cfg: InferenceConfig, mesh) -> int:
+    """Tile-slots per device step: per-device batch x mesh size. One
+    derivation shared by the small-image flush and the auto-tile chunk so
+    the cost model always matches the geometry inference actually runs."""
+    from tpuseg.infer.tiled import _mesh_size
+
+    return cfg.batch_size * _mesh_size(mesh)
 
 
 def _check_channels(img_shape, number_channels: int, path: str) -> None:
@@ -229,7 +241,7 @@ def inference(cfg: InferenceConfig) -> List[str]:
     written = []
     small_buf = []  # same-shape sub-tile images batched through one forward
     # full device group for the small-image path: batch_size per device
-    flush_n = cfg.batch_size * (mesh.devices.size if mesh is not None else 1)
+    flush_n = _group_size(cfg, mesh)
 
     def _save(mask, img_filepath):
         _, slide_name = os.path.split(img_filepath)

@@ -47,6 +47,3 @@ class CancellableQueue:
 
     def stopped(self) -> bool:
         return self._stop.is_set()
-
-    def qsize(self) -> int:
-        return self._q.qsize()

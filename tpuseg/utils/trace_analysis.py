@@ -62,9 +62,9 @@ def analyze(profile_dir: str, top: int = 25) -> Dict:
     """Aggregate device-op time.
 
     Returns ``{"device_plane": str|None, "total_ms": float, "steps": int,
-    "tflops_per_sec": float, "categories": {cat: ms},
-    "top_ops": [(ms, share, name), ...]}``. ``device_plane`` is None (and
-    the rest empty) for host-only traces.
+    "tflops_per_sec": float, "logical_gb_per_sec": float,
+    "categories": {cat: ms}, "top_ops": [(ms, share, name), ...]}``.
+    ``device_plane`` is None (and the rest empty/zero) for host-only traces.
     """
     fp = find_xplane(profile_dir)
     if fp is None:
@@ -83,7 +83,8 @@ def analyze(profile_dir: str, top: int = 25) -> Dict:
             break
     if plane is None:
         return {"device_plane": None, "total_ms": 0.0, "steps": 0,
-                "tflops_per_sec": 0.0, "categories": {}, "top_ops": [],
+                "tflops_per_sec": 0.0, "logical_gb_per_sec": 0.0,
+                "categories": {}, "top_ops": [],
                 "note": "no device XLA-op plane (host-only trace?)"}
 
     sm = plane.stat_metadata
