@@ -208,22 +208,30 @@ def bench_infer():
 
     auto_tile = choose_tile_size(img.shape[0], img.shape[1], 96)
 
-    def run_dev(x, tile):
-        out = inference_tiled(x, predict, tile_size=tile, num_classes=2,
+    def run_dev(x, tile, fn=predict):
+        out = inference_tiled(x, fn, tile_size=tile, num_classes=2,
                               norm_stats=stats, device_output=True)
         return int(out[0, 0])
 
-    def time_dev(tile):
-        run_dev(dimg, tile)  # compile
+    def time_dev(tile, fn=predict):
+        run_dev(dimg, tile, fn)  # compile
         best = float("inf")
         for _ in range(4):
             t0 = time.perf_counter()
-            run_dev(dimg, tile)
+            run_dev(dimg, tile, fn)
             best = min(best, time.perf_counter() - t0)  # min: tunnel stalls
         return best
 
     dt_auto = time_dev(auto_tile)  # headline: slot-cost-optimal geometry
     dt_1024 = time_dev(1024)       # the reference's fixed tile (inference.py:24)
+
+    # int8 PTQ serving path (infer/quant.py): same tiled engine, quantized
+    # predict_fn, calibrated on a central crop of the same image
+    from tpuseg.infer.quant import quantized_predict_from_checkpoint
+    mean, std = stats
+    crop = (img[1792:2304, 1792:2304].astype("float32") - mean) / std
+    qpredict = quantized_predict_from_checkpoint(model, variables, [crop])
+    dt_int8 = time_dev(auto_tile, qpredict)
 
     t0 = time.perf_counter()
     for _ in range(3):
@@ -237,6 +245,7 @@ def bench_infer():
         "vs_baseline": round((mp / dt_auto) / 1.9, 2),  # naive host-stitched loop, BASELINE.md
         "auto_tile_size": auto_tile,
         "fixed_1024_MP_per_sec": round(mp / dt_1024, 2),
+        "int8_MP_per_sec": round(mp / dt_int8, 2),
         "e2e_MP_per_sec_through_tunnel": round(mp / dt_e2e, 2),
         "host_to_device_MB": round(img.nbytes / 1e6, 1),
     }))

@@ -68,6 +68,7 @@ def test_inference_cli_wiring(monkeypatch):
         "--tile_size", "512", "--batch_size", "4", "--radius", "96",
         "--dtype", "float32", "--no_data_parallel", "--streaming",
         "--no_read_ahead", "--auto_tile",
+        "--quantize", "int8", "--calibration_images", "2",
     ])
     cfg = captured["cfg"]
     assert cfg.checkpoint_filepath == "ck"
@@ -79,6 +80,7 @@ def test_inference_cli_wiring(monkeypatch):
     assert cfg.data_parallel is False and cfg.streaming is True
     assert cfg.read_ahead is False
     assert cfg.auto_tile is True
+    assert cfg.quantize == "int8" and cfg.calibration_images == 2
 
 
 def test_inference_cli_defaults(monkeypatch):
@@ -96,6 +98,7 @@ def test_inference_cli_defaults(monkeypatch):
     assert cfg.data_parallel is True and cfg.streaming is False
     assert cfg.read_ahead is True
     assert cfg.auto_tile is False  # reference-geometry default
+    assert cfg.quantize == "none" and cfg.calibration_images == 4
 
 
 def test_build_lmdb_cli_wiring(monkeypatch):

@@ -273,3 +273,43 @@ def test_auto_tile_fallback_requires_halo_valid_configured_tile():
     # radius=512 makes the configured 1024 tile halo-invalid (zor=0): raise.
     with pytest.raises(ValueError):
         _auto_tile(cfg, 5000, 5000, 512, None, max_dim=200)
+
+
+def test_inference_runner_quantized_int8(ckpt, tmp_path, capsys):
+    """--quantize int8 through the full runner (both small-batched and tiled
+    branches): calibrates on the inputs, writes masks of the right
+    shape/values, and agrees with the fp masks away from near-ties."""
+    imgdir = str(tmp_path / "imgs")
+    _write_corpus(imgdir)
+
+    def run(outname, quantize):
+        outdir = str(tmp_path / outname)
+        cfg = InferenceConfig(
+            checkpoint_filepath=ckpt, image_folder=imgdir,
+            output_folder=outdir,
+            number_classes=2, number_channels=1, tile_size=288, radius=96,
+            batch_size=2, dtype="float32", base_features=2, quantize=quantize)
+        return {os.path.basename(p): imread(p) for p in inference(cfg)}
+
+    fp = run("fp", "none")
+    q = run("q", "int8")
+    assert "quantize=int8: calibrating on 2 image(s) at 96x80" in capsys.readouterr().out
+    assert sorted(q) == ["big.tif", "small.tif"]
+    for name in q:
+        assert q[name].shape == fp[name].shape
+        assert set(np.unique(q[name])) <= {0, 1}
+        # random-init fixture: logits are near-tie almost nowhere dominated,
+        # so demand broad (not exact) agreement with the fp masks
+        assert (q[name] == fp[name]).mean() > 0.85
+
+
+def test_inference_runner_quantize_rejects_unknown_mode(ckpt, tmp_path):
+    imgdir = str(tmp_path / "imgs")
+    _write_corpus(imgdir)
+    cfg = InferenceConfig(
+        checkpoint_filepath=ckpt, image_folder=imgdir,
+        output_folder=str(tmp_path / "out"),
+        number_classes=2, number_channels=1, batch_size=2, dtype="float32",
+        base_features=2, quantize="int4")
+    with pytest.raises(ValueError, match="unknown quantize mode"):
+        inference(cfg)

@@ -54,6 +54,20 @@ def main(argv=None):
                         help="stream tiled-BigTIFF inputs window-by-window and "
                              "write masks incrementally — segments whole-slide "
                              "images larger than host RAM (tpuseg extension)")
+    parser.add_argument("--quantize", dest="quantize", type=str, default="none",
+                        choices=["none", "int8"],
+                        help="int8: post-training-quantized serving path — conv "
+                             "matmuls run int8 on the MXU after activation-range "
+                             "calibration on the first --calibration_images "
+                             "inputs (tpuseg extension)")
+    parser.add_argument("--calibration_images", dest="calibration_images",
+                        type=int, default=4,
+                        help="inputs used for int8 activation-range calibration")
+    parser.add_argument("--calibration_percentile", dest="calibration_percentile",
+                        type=float, default=99.9,
+                        help="|activation| percentile for the int8 clip range "
+                             "(100 = exact max; 99.9 is the measured-parity "
+                             "default)")
     args = parser.parse_args(argv)
 
     inference(InferenceConfig(
@@ -71,6 +85,9 @@ def main(argv=None):
         streaming=args.streaming,
         read_ahead=args.read_ahead,
         auto_tile=args.auto_tile,
+        quantize=args.quantize,
+        calibration_images=args.calibration_images,
+        calibration_percentile=args.calibration_percentile,
     ))
 
 

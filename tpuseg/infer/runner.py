@@ -16,6 +16,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpuseg.data.preprocess import zscore_stats
 from tpuseg.infer.erf import estimate_radius
@@ -62,6 +63,15 @@ class InferenceConfig:
     # output pixel still sees its full halo. tile_size keeps gating the
     # small-vs-tiled dispatch
     auto_tile: bool = False
+    # "int8": post-training-quantized serving path (infer/quant.py) — conv
+    # matmuls run int8 on the MXU after activation-range calibration on the
+    # first `calibration_images` inputs; masks are near-identical to fp
+    # (argmax-stable away from decision boundaries), measured in BASELINE.md
+    quantize: str = "none"
+    calibration_images: int = 4
+    # |activation| percentile defining the int8 clip range (100 = exact max);
+    # 99.9 is the measured-parity default (BASELINE.md int8 sweep)
+    calibration_percentile: float = 99.9
 
 
 def load_model(cfg: InferenceConfig):
@@ -135,6 +145,54 @@ def _auto_tile(cfg: InferenceConfig, height: int, width: int, radius: int,
         if cfg.tile_size - 2 * radius >= radius:  # zor rule, inference.py:58-59
             return cfg.tile_size
         raise
+
+
+_CALIB_MAX_DIM = 512  # one canonical calibration shape -> exactly one compile
+
+
+def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
+                          img_filepath_list: List[str]):
+    """Build the int8 serving predict_fn (infer/quant.py): activation ranges
+    are calibrated on the first ``calibration_images`` inputs, normalized
+    exactly as inference normalizes them (whole-image z-score stats applied
+    to a central crop; streaming slides contribute a central window with its
+    own stats). All crops share one canonical shape so calibration costs a
+    single compile."""
+    if cfg.quantize != "int8":
+        raise ValueError(f'unknown quantize mode "{cfg.quantize}" (use "none" or "int8")')
+    if not img_filepath_list:
+        raise ValueError("quantized inference needs at least one input image to calibrate on")
+    from tpuseg.infer.quant import quantized_predict_from_checkpoint
+    from tpuseg.utils.bigtiff import BigTiffReader
+
+    raw = []
+    for p in img_filepath_list[: max(1, cfg.calibration_images)]:
+        if cfg.streaming:
+            with BigTiffReader(p) as reader:
+                h = min(reader.height, _CALIB_MAX_DIM)
+                w = min(reader.width, _CALIB_MAX_DIM)
+                img = reader.read_region((reader.height - h) // 2,
+                                         (reader.width - w) // 2, h, w)
+            raw.append((img, zscore_stats(img)))
+        else:
+            img = imread(p)
+            raw.append((img, zscore_stats(img)))
+    # floor-to-x16 of the smallest dims: every image admits an exact central
+    # crop of this shape, so all calibration batches share one trace
+    ch = max(16, min(min(img.shape[0] for img, _ in raw), _CALIB_MAX_DIM) // 16 * 16)
+    cw = max(16, min(min(img.shape[1] for img, _ in raw), _CALIB_MAX_DIM) // 16 * 16)
+    calib = []
+    for img, (mean, std) in raw:
+        if img.ndim == 2:
+            img = img[..., None]
+        y0 = max(0, (img.shape[0] - ch) // 2)
+        x0 = max(0, (img.shape[1] - cw) // 2)
+        crop = img[y0:y0 + ch, x0:x0 + cw].astype(np.float32)
+        safe_std = np.where(std <= 1.0, 1.0, std)  # imagereader.py:44-49 guard
+        calib.append((crop - mean) / safe_std)
+    print(f"quantize=int8: calibrating on {len(calib)} image(s) at {ch}x{cw}")
+    return quantized_predict_from_checkpoint(
+        model, variables, calib, percentile=cfg.calibration_percentile)
 
 
 def _group_size(cfg: InferenceConfig, mesh) -> int:
@@ -224,7 +282,10 @@ def inference(cfg: InferenceConfig) -> List[str]:
     ]
 
     model, variables = load_model(cfg)
-    predict_fn = make_predict_fn(model, variables)
+    if cfg.quantize == "none":
+        predict_fn = make_predict_fn(model, variables)
+    else:
+        predict_fn = _quantized_predict_fn(cfg, model, variables, img_filepath_list)
 
     mesh = None
     if cfg.data_parallel and jax.device_count() > 1:
