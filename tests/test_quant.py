@@ -1,9 +1,9 @@
 """Int8 post-training quantization (infer/quant.py).
 
-Three contracts: (1) the folded-fp graph walk is the Flax model (BN folding
-+ topology parity), (2) the int8 path preserves segmentation outputs on a
-trained model to high agreement, (3) calibration/quantization round-trips
-shapes and scales sanely.
+Contracts: (1) the BN-folded fp graph walk IS the Flax model, (2) the
+int8-resident path preserves segmentation outputs on a trained model to
+high agreement, (3) weight quantization folds per-channel input scales
+correctly, (4) the quantized predict_fn slots into the tiled engine.
 """
 
 import jax
@@ -14,11 +14,13 @@ import pytest
 from tpuseg.infer.quant import (
     CONV_BLOCKS,
     DECONV_BLOCKS,
+    INPUT_TAP,
     calibrate,
     fold_variables,
+    make_folded_logits_fn,
     make_quantized_logits_fn,
     make_quantized_predict_fn,
-    quantize_params,
+    quantize_weight,
     quantized_predict_from_checkpoint,
 )
 from tpuseg.models.unet import UNet, init_variables
@@ -45,24 +47,39 @@ def _model_and_vars(impl="conv_transpose", feats=4):
 @pytest.mark.parametrize("impl", ["conv_transpose", "pixel_shuffle"])
 def test_folded_fp_walk_matches_model_apply(impl):
     """BN fold + _unet_walk == model.apply(train=False) in f32 (both deconv
-    impls): proves the quantized engine mirrors the reference graph
-    (model.py:85-146) before any quantization enters."""
+    impls): proves the engine mirrors the reference graph (model.py:85-146)
+    before any quantization enters."""
     model, variables = _model_and_vars(impl)
     x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (2, 48, 32, 1)),
                     jnp.float32)
     want = model.apply(variables, x, train=False)
-
-    folded = fold_variables(variables)
-    qp = quantize_params(folded, {}, fp_blocks=ALL_BLOCKS)  # no ranges needed
-    got = make_quantized_logits_fn(qp, deconv_impl=impl, dtype=jnp.float32)(x)
+    got = make_folded_logits_fn(fold_variables(variables), deconv_impl=impl)(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("impl", ["conv_transpose", "pixel_shuffle"])
+def test_int8_logits_track_fp_logits(impl):
+    """The int8-resident forward tracks the fp logits closely on a random
+    model (both deconv impls, incl. the dequant-before-shuffle path)."""
+    model, variables = _model_and_vars(impl)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, 48, 32, 1)), jnp.float32)
+    folded = fold_variables(variables)
+    want = np.asarray(make_folded_logits_fn(folded, deconv_impl=impl)(x))
+    ranges = calibrate(folded, [rng.normal(0, 1, (48, 32))], deconv_impl=impl,
+                       percentile=100.0)
+    got = np.asarray(make_quantized_logits_fn(folded, ranges,
+                                              deconv_impl=impl)(x))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 0.15
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
+
+
 def test_int8_preserves_trained_masks():
     """Train a tiny model on a separable synthetic task, then int8-quantize:
-    masks must agree with the fp predictor nearly everywhere and recover the
-    true labels equally well."""
+    masks must agree with the fp predictor nearly everywhere and not lose
+    accuracy against the true labels."""
     from tpuseg.infer.tiled import make_predict_fn
     from tpuseg.train.steps import create_train_state, make_jitted_steps
 
@@ -94,40 +111,49 @@ def test_int8_preserves_trained_masks():
     assert (q_mask == truth).mean() > (fp_mask == truth).mean() - 0.02
 
 
-def test_quantize_params_structure():
-    """Weight scales are per-output-channel max/127; fp_blocks keep fp
-    weights; activation scales come from the calibration ranges."""
+def test_quantize_weight_folds_input_scales():
+    """conv(x_q, wq) * wscale reconstructs conv(x, w) when x = x_q * sx —
+    the identity that makes mixed-scale skip concatenation free."""
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 1, (3, 3, 6, 8)).astype(np.float32)
+    sx = rng.uniform(0.01, 0.2, 6).astype(np.float32)
+    wq, wscale = quantize_weight(w, sx)
+    assert wq.dtype == np.int8 and wscale.shape == (8,)
+    # max-magnitude folded weight per output channel uses the full int8 range
+    assert np.all(np.abs(wq).max(axis=(0, 1, 2)) == 127)
+    xq = rng.integers(-127, 128, (1, 16, 16, 6)).astype(np.float32)
+    x = xq * sx
+
+    def conv(a, k):
+        return jax.lax.conv_general_dilated(
+            jnp.asarray(a), jnp.asarray(k), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    want = np.asarray(conv(x, w))
+    got = np.asarray(conv(xq, wq.astype(np.float32))) * wscale
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 0.02  # weight-rounding error only
+
+
+def test_calibrate_returns_all_taps():
     _, variables = _model_and_vars()
     folded = fold_variables(variables)
     ranges = calibrate(folded, [np.random.default_rng(2).normal(0, 1, (48, 48))])
-    assert set(ranges) == set(ALL_BLOCKS)
+    assert set(ranges) == set(ALL_BLOCKS) | {INPUT_TAP}
     assert all(v > 0 for v in ranges.values())
-
-    qp = quantize_params(folded, ranges, fp_blocks=("enc1a",))
-    assert "w" in qp["enc1a"] and "wq" not in qp["enc1a"]
-    blk = qp["enc2a"]
-    assert blk["wq"].dtype == np.int8
-    w = folded["enc2a"]["w"]
-    assert blk["wscale"].shape == (w.shape[-1],)
-    np.testing.assert_allclose(
-        blk["wscale"], np.abs(w.reshape(-1, w.shape[-1])).max(axis=0) / 127.0)
-    # max-magnitude weight per channel quantizes to +-127 exactly
-    assert np.all(np.abs(blk["wq"]).max(axis=(0, 1, 2)) == 127)
-    assert blk["in_scale"] == np.float32(ranges["enc2a"] / 127.0)
 
 
 def test_quantized_predict_slots_into_tiled_engine():
     """The int8 predict_fn runs the existing halo-tiled engine unchanged and
-    agrees with the fp engine's tiled mask (both produce the same labels on
-    a trained-free random model within near-tie noise)."""
+    agrees with the fp engine's tiled mask (random model: near-tie flips
+    only)."""
     from tpuseg.infer.tiled import inference_tiled, make_predict_fn
 
     model, variables = _model_and_vars()
     img = np.random.default_rng(3).normal(0, 1, (200, 170)).astype(np.float32)
     fp_fn = make_predict_fn(model, variables)
     folded = fold_variables(variables)
-    qp = quantize_params(folded, calibrate(folded, [img]))
-    q_fn = make_quantized_predict_fn(qp)
+    q_fn = make_quantized_predict_fn(folded, calibrate(folded, [img]))
 
     fp_mask = inference_tiled(img, fp_fn, tile_size=96, radius=16, batch_size=2)
     q_mask = inference_tiled(img, q_fn, tile_size=96, radius=16, batch_size=2)

@@ -4,41 +4,52 @@ The reference has no quantized path — its inference runs the full Keras
 fp32 graph (``/root/reference/UNet/inference.py:105``).  On TPU v5e the MXU
 runs int8 matmuls at ~2x the bf16 rate, and a measured device-resident A/B
 (BASELINE.md round 3) shows int8 convolutions 1.3-1.5x faster than bf16 at
-the U-Net's shapes, so an int8 inference engine is a genuine serving win
-that GPUs-era frameworks leave on the table.
+the U-Net's shapes, so an int8 inference engine is a genuine serving win.
 
-Scheme (standard symmetric PTQ, chosen for its zero-copy epilogues):
+The engine is **int8-resident**: activations stay int8 *between* blocks,
+not just inside the conv.
 
 - **BN folding.** At inference BatchNorm is the per-channel affine
   ``y = x*s + t`` with ``s = gamma/sqrt(var+eps)``, ``t = beta - mean*s``
   (Keras inference semantics, ref model.py:36 with use_running_average).
   Folded once on the host at load time.
-- **Weights**: per-output-channel symmetric int8,
-  ``wq = round(w / wscale)``, ``wscale = max|w[..., c]| / 127``.
-- **Activations**: per-conv-input symmetric int8 scales calibrated from
-  max-|x| over a handful of representative (z-score-normalized) images.
-- **Compute**: int8 x int8 convolutions accumulate in int32 on the MXU
-  (exact: K*Cin*127^2 < 2^31 for every layer of any practical width), then
-  a fused fp epilogue dequantizes (``* in_scale*wscale``), adds the conv
-  bias, applies ReLU and the folded BN affine, and re-quantizes for the
-  next conv.  Elementwise epilogues fuse into XLA's surrounding passes;
-  int8 activations also halve the HBM bytes of the bandwidth-bound C=64
-  stages.
-- ``fp_blocks`` keeps named blocks in bf16 — by default the first conv
-  (``enc1a``), whose input is the z-scored raw image: quantizing a uint16
-  microscopy image to 8 bits before the first feature extraction is the
-  one place PTQ measurably hurts, and the conv is FLOP-trivial anyway.
+- **Every edge carries (int8 tensor, per-channel scale vector).**  Each
+  block's epilogue (dequant + bias + ReLU + folded BN) re-quantizes to the
+  block's calibrated output range *in the same fused pass* — a first
+  int8-between-convs build left the quantize steps as standalone
+  ``clamp_convert`` passes over the big C=64 tensors and they cost ~25% of
+  device time (trace in BASELINE.md); emitting int8 from the epilogue
+  removes them and halves the HBM bytes of every inter-block tensor.
+- **Per-channel input scales fold into the weights** at trace time:
+  ``conv(x, w) = conv(x_q, round(w * sx[cin] / wscale)) * wscale[cout]``.
+  This is what makes skip concatenation free — the two int8 branches keep
+  their own scales and the consuming conv's folded weights absorb them,
+  instead of re-quantizing either branch to a shared scale.
+- **Max-pool runs on int8 directly** (quantization is monotone, so pool
+  and quantize commute); scale vectors pass through unchanged.
+- **Activation ranges** are calibrated per block output from a handful of
+  normalized images: the |activation| percentile (default 99.9 — clipping
+  the outlier tail spends the 127 codes on the bulk of the distribution),
+  mean-aggregated across images.  Max-aggregation regrows the outlier tail
+  as images are added (measured: mIoU 0.980 -> 0.963 from 4 -> 20 images)
+  and exact max-abs calibration costs ~2.5 mIoU points; the shipped
+  recipe measures *at* fp parity (BASELINE.md sweep).
+- ``fp_blocks`` runs named convs in bf16 on dequantized input — by
+  default ``enc1a`` (its input is the raw z-scored image; 8-bit-ing uint16
+  microscopy data before the first feature extraction is the one
+  measurably harmful site) and ``head`` (logits feed argmax directly).
+  Both are FLOP-trivial.
 
 The quantized ``predict_fn`` has the same ``NHWC batch -> int32 labels``
 contract as :func:`tpuseg.infer.tiled.make_predict_fn`, so the whole tiled /
 streaming / batched-small-image machinery (and its program caches) runs it
-unchanged.  Argmax is taken over the quantized logits; quality parity is
-measured as mask agreement + mIoU on the bundled corpus (BASELINE.md).
+unchanged.  int8 x int8 convolutions accumulate in int32 on the MXU —
+exact for every layer (K*Cin*127^2 < 2^31 at any practical width).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, List, Sequence
+from typing import Callable, Dict, Iterable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,13 +71,13 @@ CONV_BLOCKS = (
 )
 DECONV_BLOCKS = ("dec4up", "dec3up", "dec2up", "dec1up")
 
-# Serving defaults, set by the held-out-corpus sweep in BASELINE.md:
-# enc1a stays fp because its input is the raw z-scored image (8-bit-ing a
-# uint16 microscopy image before the first feature extraction is the one
-# measurably harmful site) and the head because its logits feed argmax
-# directly — both are FLOP-trivial (Cin*Cout of 1*64 and 64*classes).
+# Serving defaults, set by the held-out-corpus sweep in BASELINE.md.
 DEFAULT_FP_BLOCKS = ("enc1a", "head")
 DEFAULT_PERCENTILE = 99.9
+
+# Calibration key for the network input (the z-scored image itself) — only
+# consumed when enc1a is quantized.
+INPUT_TAP = "input"
 
 
 def _bn_affine(bn_params, bn_stats):
@@ -102,23 +113,28 @@ def fold_variables(variables) -> Dict[str, Dict[str, np.ndarray]]:
     return folded
 
 
-def _unet_walk(x, conv_block, deconv_block):
-    """The reference graph topology (model.py:85-146) over abstract blocks.
+def quantize_weight(w: np.ndarray, in_scales: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8 with the input activation scales
+    folded in: ``conv(x_int8, wq) * wscale[cout] ~= conv(x, w)`` where
+    ``x = x_int8 * in_scales[cin]``.  Returns ``(wq int8, wscale f32)``.
+    """
+    w_folded = w * np.asarray(in_scales, np.float32)[:, None]  # (cin, cout) bcast
+    amax = np.max(np.abs(w_folded.reshape(-1, w.shape[-1])), axis=0)
+    wscale = np.where(amax > 0, amax, 1.0).astype(np.float32) / 127.0
+    wq = np.clip(np.round(w_folded / wscale), -127, 127).astype(np.int8)
+    return wq, wscale
 
-    ``conv_block(name, x)`` / ``deconv_block(name, x)`` supply the math —
-    folded-fp for calibration, int8 for serving — so both paths share one
-    encoding of the architecture.  Dropout is inference-identity.
+
+def _unet_walk(x, conv_block, deconv_block, pool, concat):
+    """The reference graph topology (model.py:85-146) over abstract blocks
+    and edge ops, shared by the fp-folded forward (calibration/parity), the
+    int8-resident forward, and static scale propagation.  Dropout is
+    inference-identity.
     """
 
     def pair(name, x):
         return conv_block(f"{name}b", conv_block(f"{name}a", x))
-
-    def pool(x):
-        # MaxPool 2x2/2 (model.py:50-53)
-        return jax.lax.reduce_window(
-            x, -jnp.inf if x.dtype != jnp.int8 else jnp.int8(-128), jax.lax.max,
-            (1, POOLING_STRIDE, POOLING_STRIDE, 1),
-            (1, POOLING_STRIDE, POOLING_STRIDE, 1), "VALID")
 
     enc1 = pair("enc1", x)
     enc2 = pair("enc2", pool(enc1))
@@ -129,13 +145,22 @@ def _unet_walk(x, conv_block, deconv_block):
     def up(x, skip, name):
         x = deconv_block(f"{name}up", x)
         # concat order (skip, up), model.py:117
-        return pair(name, jnp.concatenate([skip, x], axis=-1))
+        return pair(name, concat(skip, x))
 
     dec4 = up(bott, enc4, "dec4")
     dec3 = up(dec4, enc3, "dec3")
     dec2 = up(dec3, enc2, "dec2")
     dec1 = up(dec2, enc1, "dec1")
     return conv_block("head", dec1)
+
+
+def _maxpool(x):
+    """MaxPool 2x2/2 (model.py:50-53); valid for fp and int8 payloads."""
+    init = jnp.asarray(-128, x.dtype) if x.dtype == jnp.int8 else -jnp.inf
+    return jax.lax.reduce_window(
+        x, init, jax.lax.max,
+        (1, POOLING_STRIDE, POOLING_STRIDE, 1),
+        (1, POOLING_STRIDE, POOLING_STRIDE, 1), "VALID")
 
 
 def _conv_fp(x, w, dtype):
@@ -145,43 +170,85 @@ def _conv_fp(x, w, dtype):
         preferred_element_type=jnp.float32)
 
 
+def _conv_s8(x, wq):
+    return jax.lax.conv_general_dilated(
+        x, wq, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+
+
+def _shuffle(y):
+    """Depth-to-space for the pixel_shuffle deconv (models/unet.py DeconvBlock)."""
+    b, h, w, _ = y.shape
+    s = POOLING_STRIDE
+    feats = y.shape[-1] // (s * s)
+    y = y.reshape(b, h, w, s, s, feats)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * s, w * s, feats)
+
+
 def _deconv(x, w, impl, acc_dtype):
     if impl == "pixel_shuffle":
         # 1x1 conv to 4*features + depth-to-space (models/unet.py DeconvBlock)
-        b, h, w_, _ = x.shape
         y = jax.lax.conv_general_dilated(
             x, w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=acc_dtype)
-        s = POOLING_STRIDE
-        feats = y.shape[-1] // (s * s)
-        y = y.reshape(b, h, w_, s, s, feats)
-        return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * s, w_ * s, feats)
+        return _shuffle(y)
     return jax.lax.conv_transpose(
         x, w, (POOLING_STRIDE, POOLING_STRIDE), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=acc_dtype)
 
 
+def make_folded_logits_fn(folded: Dict[str, Dict[str, np.ndarray]],
+                          deconv_impl: str = "conv_transpose",
+                          dtype=jnp.float32) -> Callable[[jax.Array], jax.Array]:
+    """The folded-fp forward: BN-folded affines over the reference graph,
+    no quantization.  ``make_folded_logits_fn(fold_variables(v))(x)`` equals
+    ``model.apply(v, x, train=False)`` (pinned in tests/test_quant.py) —
+    the correctness anchor the int8 engine is diffed against, and the
+    forward calibration runs to record activation ranges.
+    """
+    fold_dev = jax.tree_util.tree_map(jnp.asarray, dict(folded))
+
+    def conv_block(name, x):
+        p = fold_dev[name]
+        y = jnp.maximum(_conv_fp(x, p["w"], dtype) + p["b"], 0.0)
+        return (y * p["s"] + p["t"]).astype(dtype)
+
+    def deconv_block(name, x):
+        p = fold_dev[name]
+        y = _deconv(x.astype(dtype), p["w"].astype(dtype), deconv_impl,
+                    jnp.float32)
+        return (y * p["s"] + p["t"]).astype(dtype)
+
+    def concat(a, b):
+        return jnp.concatenate([a, b], axis=-1)
+
+    @jax.jit
+    def logits_fn(x):
+        out = _unet_walk(x.astype(dtype), conv_block, deconv_block,
+                         _maxpool, concat)
+        return out.astype(jnp.float32)
+
+    return logits_fn
+
+
 def calibrate(folded: Dict[str, Dict[str, np.ndarray]],
               images: Iterable[np.ndarray],
               deconv_impl: str = "conv_transpose",
-              percentile: float = 100.0) -> Dict[str, float]:
-    """Per-block input range over z-score-normalized calibration images.
+              percentile: float = DEFAULT_PERCENTILE) -> Dict[str, float]:
+    """Per-block *output* magnitude ranges (plus the network input's under
+    ``INPUT_TAP``) over z-score-normalized calibration images.
 
     Runs the folded-fp forward once per image (f32 for faithful ranges) and
-    records each conv/deconv input's magnitude range — the given percentile
-    of |x| (default 99.9: clipping the outlier tail spends the 127 int8
-    codes on the bulk of the distribution), or exact max-|x| at 100.  The
-    serving scale is ``range / 127``.  Across calibration images,
-    percentile ranges are **averaged** (a max would re-grow toward the
-    outlier tail as images are added — measured on the NIST corpus: max-
-    aggregated p99.9 degrades mIoU 0.980 -> 0.963 going from 4 to 20
-    calibration images, mean-aggregated stays at parity; BASELINE.md) and
-    max ranges are max-aggregated (the true global max).  Images are
-    HW/HWC float arrays already normalized the way inference normalizes
-    them (data/preprocess.zscore semantics); shapes need not match — each
-    runs as its own batch of one.
+    records the given percentile of |activations| at every block output —
+    the int8 clip range of the edge that block emits.  Percentile ranges
+    are mean-aggregated across images, exact-max (percentile=100) ranges
+    max-aggregated (see the module docstring for the measured why).
+    Images are HW/HWC float arrays already normalized the way inference
+    normalizes them (data/preprocess.zscore semantics); shapes need not
+    match — each runs as its own batch of one.
     """
     fold_dev = jax.tree_util.tree_map(jnp.asarray, dict(folded))
     if not 0.0 < percentile <= 100.0:
@@ -194,22 +261,26 @@ def calibrate(folded: Dict[str, Dict[str, np.ndarray]],
 
     @jax.jit
     def taps_fn(x):
-        taps = {}
+        taps = {INPUT_TAP: tap(x)}
 
         def conv_block(name, x):
             p = fold_dev[name]
-            taps[name] = tap(x)
             y = jnp.maximum(_conv_fp(x, p["w"], jnp.float32) + p["b"], 0.0)
-            return y * p["s"] + p["t"]
+            y = y * p["s"] + p["t"]
+            taps[name] = tap(y)
+            return y
 
         def deconv_block(name, x):
             p = fold_dev[name]
-            taps[name] = tap(x)
-            y = _deconv(x.astype(jnp.float32), p["w"].astype(jnp.float32),
-                        deconv_impl, jnp.float32)
-            return y * p["s"] + p["t"]
+            y = _deconv(x, p["w"].astype(jnp.float32), deconv_impl, jnp.float32)
+            y = y * p["s"] + p["t"]
+            taps[name] = tap(y)
+            return y
 
-        _unet_walk(x, conv_block, deconv_block)
+        def concat(a, b):
+            return jnp.concatenate([a, b], axis=-1)
+
+        _unet_walk(x, conv_block, deconv_block, _maxpool, concat)
         return taps
 
     per_image: Dict[str, List[float]] = {}
@@ -230,88 +301,106 @@ def calibrate(folded: Dict[str, Dict[str, np.ndarray]],
     return {k: agg(vs) for k, vs in per_image.items()}
 
 
-def quantize_params(folded: Dict[str, Dict[str, np.ndarray]],
-                    act_ranges: Dict[str, float],
-                    fp_blocks: Sequence[str] = DEFAULT_FP_BLOCKS):
-    """Folded params + activation ranges -> the serving parameter pytree.
-
-    Quantized block: ``{"wq": int8, "wscale": f32[cout], "in_scale": f32,
-    ("b",) "s", "t"}``; blocks named in ``fp_blocks`` keep ``{"w", ...}``
-    and run in bf16.
-    """
-    q: Dict[str, Dict[str, np.ndarray]] = {}
-    for name, p in folded.items():
-        out = {"s": p["s"], "t": p["t"]}
-        if "b" in p:
-            out["b"] = p["b"]
-        if name in fp_blocks:
-            out["w"] = p["w"]
-        else:
-            w = p["w"]
-            amax = np.max(np.abs(w.reshape(-1, w.shape[-1])), axis=0)
-            wscale = np.where(amax > 0, amax, 1.0).astype(np.float32) / 127.0
-            out["wq"] = np.clip(np.round(w / wscale), -127, 127).astype(np.int8)
-            out["wscale"] = wscale
-            out["in_scale"] = np.float32(max(act_ranges[name], 1e-12) / 127.0)
-        q[name] = out
-    return q
-
-
-def make_quantized_logits_fn(qparams, deconv_impl: str = "conv_transpose",
+def make_quantized_logits_fn(folded: Dict[str, Dict[str, np.ndarray]],
+                             act_ranges: Dict[str, float],
+                             fp_blocks: Sequence[str] = DEFAULT_FP_BLOCKS,
+                             deconv_impl: str = "conv_transpose",
                              dtype=jnp.bfloat16) -> Callable[[jax.Array], jax.Array]:
-    """Jitted NHWC batch -> f32 logits through the int8 graph (the quantized
-    analog of ``model.apply``; softmax it for the reference's probability
-    contract, argmax it for masks — `make_quantized_predict_fn` does the
-    latter on device)."""
-    qp = jax.tree_util.tree_map(jnp.asarray, dict(qparams))
+    """Jitted NHWC batch -> f32 logits through the int8-resident graph.
 
-    def _q(x, scale):
-        return jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
-                        -127, 127).astype(jnp.int8)
+    Every inter-block edge is ``(int8 payload, static per-channel scale
+    vector)``; weight folding/quantization runs on the static scales at
+    trace time (numpy — the int8 weights compile in as program constants).
+    Blocks in ``fp_blocks`` run their conv in ``dtype`` on dequantized
+    input but still emit int8 from their epilogue.  The head emits f32
+    logits (its epilogue feeds argmax / softmax, never another conv).
+    """
+    fold_dev = jax.tree_util.tree_map(jnp.asarray, dict(folded))
 
-    def _epilogue(y, p, relu):
-        if relu:
-            y = jnp.maximum(y + p["b"], 0.0)
-        return (y * p["s"] + p["t"]).astype(dtype)
+    def out_scale(name) -> np.float32:
+        return np.float32(max(act_ranges[name], 1e-12) / 127.0)
 
-    def conv_block(name, x):
-        p = qp[name]
-        if "w" in p:  # fp block
-            y = _conv_fp(x, p["w"], dtype).astype(jnp.float32)
+    def emit(y, name, cout):
+        """Fused epilogue tail: requantize to the block's output range."""
+        so = out_scale(name)
+        q = jnp.clip(jnp.round(y / so), -127, 127).astype(jnp.int8)
+        return q, np.full(cout, so, np.float32)
+
+    def dequant(x, sv):
+        return (x.astype(jnp.float32) * jnp.asarray(sv)).astype(dtype)
+
+    def conv_block(name, edge):
+        x, sv = edge
+        p = fold_dev[name]
+        w = folded[name]["w"]
+        if name in fp_blocks:
+            xf = x if sv is None else dequant(x, sv)
+            y = _conv_fp(xf, p["w"], dtype)
         else:
-            yq = jax.lax.conv_general_dilated(
-                _q(x, p["in_scale"]), p["wq"], (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
-            y = yq.astype(jnp.float32) * (p["in_scale"] * p["wscale"])
-        return _epilogue(y, p, relu=True)
+            if sv is None:  # quantize the fp network input on the fly
+                si = np.float32(max(act_ranges[INPUT_TAP], 1e-12) / 127.0)
+                x = jnp.clip(jnp.round(x.astype(jnp.float32) / si),
+                             -127, 127).astype(jnp.int8)
+                sv = np.full(w.shape[-2], si, np.float32)
+            wq, wscale = quantize_weight(w, sv)
+            y = _conv_s8(x, jnp.asarray(wq)).astype(jnp.float32) * wscale
+        y = jnp.maximum(y + p["b"], 0.0) * p["s"] + p["t"]
+        if name == "head":
+            return y.astype(jnp.float32)
+        return emit(y, name, w.shape[-1])
 
-    def deconv_block(name, x):
-        p = qp[name]
-        if "w" in p:
-            y = _deconv(x.astype(dtype), p["w"].astype(dtype),
-                        deconv_impl, jnp.float32).astype(jnp.float32)
+    def deconv_block(name, edge):
+        x, sv = edge
+        p = fold_dev[name]
+        w = folded[name]["w"]
+        cout = w.shape[-1] if deconv_impl != "pixel_shuffle" \
+            else w.shape[-1] // (POOLING_STRIDE * POOLING_STRIDE)
+        if name in fp_blocks:
+            xf = x if sv is None else dequant(x, sv)
+            y = _deconv(xf.astype(dtype), p["w"].astype(dtype), deconv_impl,
+                        jnp.float32)
+        elif deconv_impl == "pixel_shuffle":
+            # dequantize per flattened 4*feats channel BEFORE depth-to-space
+            # (the shuffle scatters channel groups into spatial positions,
+            # so per-channel scales don't survive it)
+            wq, wscale = quantize_weight(w, sv)
+            y32 = _conv_s8(x, jnp.asarray(wq))
+            y = _shuffle(y32.astype(jnp.float32) * wscale)
         else:
-            yq = _deconv(_q(x, p["in_scale"]), p["wq"], deconv_impl, jnp.int32)
-            y = yq.astype(jnp.float32) * (p["in_scale"] * p["wscale"])
-        return _epilogue(y, p, relu=False)
+            wq, wscale = quantize_weight(w, sv)
+            y = _deconv(x, jnp.asarray(wq), deconv_impl, jnp.int32)
+            y = y.astype(jnp.float32) * wscale
+        y = y * p["s"] + p["t"]
+        return emit(y, name, cout)
+
+    def pool(edge):
+        x, sv = edge
+        return _maxpool(x), sv  # quantization is monotone: pool commutes
+
+    def concat(a, b):
+        (xa, sa), (xb, sb) = a, b
+        # branches keep their own scales; the consumer's folded weights
+        # absorb the concatenated per-channel scale vector
+        return jnp.concatenate([xa, xb], axis=-1), np.concatenate([sa, sb])
 
     @jax.jit
     def logits_fn(batch):
-        out = _unet_walk(batch.astype(dtype), conv_block, deconv_block)
-        return out.astype(jnp.float32)
+        return _unet_walk((batch, None), conv_block, deconv_block, pool, concat)
 
     return logits_fn
 
 
-def make_quantized_predict_fn(qparams, deconv_impl: str = "conv_transpose",
+def make_quantized_predict_fn(folded, act_ranges,
+                              fp_blocks: Sequence[str] = DEFAULT_FP_BLOCKS,
+                              deconv_impl: str = "conv_transpose",
                               dtype=jnp.bfloat16) -> Callable[[jax.Array], jax.Array]:
     """Serving entry point: jitted NHWC batch -> int32 argmax labels.
 
     Same contract as ``tiled.make_predict_fn`` so every inference engine
     (tiled, streaming, batched small images) runs the int8 path unchanged.
     """
-    logits_fn = make_quantized_logits_fn(qparams, deconv_impl, dtype)
+    logits_fn = make_quantized_logits_fn(folded, act_ranges, fp_blocks,
+                                         deconv_impl, dtype)
 
     @jax.jit
     def predict(batch):
@@ -324,9 +413,9 @@ def quantized_predict_from_checkpoint(
         model: UNet, variables, calib_images: List[np.ndarray],
         fp_blocks: Sequence[str] = DEFAULT_FP_BLOCKS,
         percentile: float = DEFAULT_PERCENTILE):
-    """One-call serving path: fold, calibrate, quantize, build predict_fn."""
+    """One-call serving path: fold, calibrate, build the int8 predict_fn."""
     folded = fold_variables(variables)
     ranges = calibrate(folded, calib_images, deconv_impl=model.deconv_impl,
                        percentile=percentile)
-    qparams = quantize_params(folded, ranges, fp_blocks=fp_blocks)
-    return make_quantized_predict_fn(qparams, deconv_impl=model.deconv_impl)
+    return make_quantized_predict_fn(folded, ranges, fp_blocks=fp_blocks,
+                                     deconv_impl=model.deconv_impl)
