@@ -313,3 +313,33 @@ def test_inference_runner_quantize_rejects_unknown_mode(ckpt, tmp_path):
         base_features=2, quantize="int4")
     with pytest.raises(ValueError, match="unknown quantize mode"):
         inference(cfg)
+
+
+def test_inference_runner_streaming_quantized(ckpt, tmp_path, capsys):
+    """--streaming --quantize int8: calibration reads a central window via
+    BigTiffReader.read_region (the whole slide may exceed host RAM) and the
+    streamed int8 mask tracks the streamed fp mask."""
+    from tpuseg.utils import bigtiff
+
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 4096, size=(400, 330)).astype(np.uint16)
+    bigtiff.write_bigtiff(os.path.join(imgdir, "slide.tif"), img, tile=(128, 128))
+
+    def run(outname, quantize):
+        outdir = str(tmp_path / outname)
+        os.makedirs(outdir)
+        cfg = InferenceConfig(
+            checkpoint_filepath=ckpt, image_folder=imgdir, output_folder=outdir,
+            number_classes=2, number_channels=1, tile_size=288, radius=96,
+            batch_size=2, dtype="float32", base_features=2, streaming=True,
+            quantize=quantize)
+        return bigtiff.read_bigtiff(inference(cfg)[0])
+
+    fp = run("fp", "none")
+    q = run("q", "int8")
+    assert "quantize=int8: calibrating on 1 image(s) at 400x320" in capsys.readouterr().out
+    assert q.shape == fp.shape == (400, 330)
+    assert set(np.unique(q)) <= {0, 1}
+    assert (q == fp).mean() > 0.85  # random-init model: near-tie flips only
