@@ -69,6 +69,7 @@ def test_inference_cli_wiring(monkeypatch):
         "--dtype", "float32", "--no_data_parallel", "--streaming",
         "--no_read_ahead", "--auto_tile",
         "--quantize", "int8", "--calibration_images", "2",
+        "--calibration_percentile", "99.5",
     ])
     cfg = captured["cfg"]
     assert cfg.checkpoint_filepath == "ck"
@@ -81,6 +82,7 @@ def test_inference_cli_wiring(monkeypatch):
     assert cfg.read_ahead is False
     assert cfg.auto_tile is True
     assert cfg.quantize == "int8" and cfg.calibration_images == 2
+    assert cfg.calibration_percentile == 99.5
 
 
 def test_inference_cli_defaults(monkeypatch):

@@ -343,3 +343,33 @@ def test_inference_runner_streaming_quantized(ckpt, tmp_path, capsys):
     assert q.shape == fp.shape == (400, 330)
     assert set(np.unique(q)) <= {0, 1}
     assert (q == fp).mean() > 0.85  # random-init model: near-tie flips only
+
+
+def test_inference_runner_quantized_empty_folder(ckpt, tmp_path):
+    """quantize=int8 on an empty folder returns [] like the fp path (no
+    'needs calibration images' crash for scripted pipelines)."""
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    cfg = InferenceConfig(
+        checkpoint_filepath=ckpt, image_folder=imgdir,
+        output_folder=str(tmp_path / "out"),
+        number_classes=2, number_channels=1, batch_size=2, dtype="float32",
+        base_features=2, quantize="int8")
+    assert inference(cfg) == []
+
+
+def test_inference_runner_quantized_channel_mismatch_fails_fast(ckpt, tmp_path):
+    """A wrong-channel calibration image fails with the clean per-file
+    message, not an XLA shape error inside the calibration forward."""
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    rng = np.random.default_rng(0)
+    imwrite(os.path.join(imgdir, "rgbish.tif"),
+            rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8))
+    cfg = InferenceConfig(
+        checkpoint_filepath=ckpt, image_folder=imgdir,
+        output_folder=str(tmp_path / "out"),
+        number_classes=2, number_channels=1, batch_size=2, dtype="float32",
+        base_features=2, quantize="int8")
+    with pytest.raises(ValueError, match="3 channel.*number_channels=1"):
+        inference(cfg)

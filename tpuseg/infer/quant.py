@@ -200,35 +200,50 @@ def _deconv(x, w, impl, acc_dtype):
         preferred_element_type=acc_dtype)
 
 
+def _folded_walk(fold_dev, x, deconv_impl, dtype, tap=None):
+    """The BN-folded fp forward over the reference graph; ``tap(name, y)``
+    (if given) observes every block output.  The single source of the
+    folded block math — both the parity-anchored logits fn and calibration
+    run exactly this graph, so the ranges are always calibrated on the
+    graph being served.
+    """
+
+    def conv_block(name, x):
+        p = fold_dev[name]
+        y = jnp.maximum(_conv_fp(x, p["w"], dtype) + p["b"], 0.0)
+        y = (y * p["s"] + p["t"]).astype(dtype)
+        if tap is not None:
+            tap(name, y)
+        return y
+
+    def deconv_block(name, x):
+        p = fold_dev[name]
+        y = _deconv(x.astype(dtype), p["w"].astype(dtype), deconv_impl,
+                    jnp.float32)
+        y = (y * p["s"] + p["t"]).astype(dtype)
+        if tap is not None:
+            tap(name, y)
+        return y
+
+    def concat(a, b):
+        return jnp.concatenate([a, b], axis=-1)
+
+    return _unet_walk(x, conv_block, deconv_block, _maxpool, concat)
+
+
 def make_folded_logits_fn(folded: Dict[str, Dict[str, np.ndarray]],
                           deconv_impl: str = "conv_transpose",
                           dtype=jnp.float32) -> Callable[[jax.Array], jax.Array]:
     """The folded-fp forward: BN-folded affines over the reference graph,
     no quantization.  ``make_folded_logits_fn(fold_variables(v))(x)`` equals
     ``model.apply(v, x, train=False)`` (pinned in tests/test_quant.py) —
-    the correctness anchor the int8 engine is diffed against, and the
-    forward calibration runs to record activation ranges.
+    the correctness anchor the int8 engine is diffed against.
     """
     fold_dev = jax.tree_util.tree_map(jnp.asarray, dict(folded))
 
-    def conv_block(name, x):
-        p = fold_dev[name]
-        y = jnp.maximum(_conv_fp(x, p["w"], dtype) + p["b"], 0.0)
-        return (y * p["s"] + p["t"]).astype(dtype)
-
-    def deconv_block(name, x):
-        p = fold_dev[name]
-        y = _deconv(x.astype(dtype), p["w"].astype(dtype), deconv_impl,
-                    jnp.float32)
-        return (y * p["s"] + p["t"]).astype(dtype)
-
-    def concat(a, b):
-        return jnp.concatenate([a, b], axis=-1)
-
     @jax.jit
     def logits_fn(x):
-        out = _unet_walk(x.astype(dtype), conv_block, deconv_block,
-                         _maxpool, concat)
+        out = _folded_walk(fold_dev, x.astype(dtype), deconv_impl, dtype)
         return out.astype(jnp.float32)
 
     return logits_fn
@@ -254,33 +269,16 @@ def calibrate(folded: Dict[str, Dict[str, np.ndarray]],
     if not 0.0 < percentile <= 100.0:
         raise ValueError(f"percentile must be in (0, 100], got {percentile}")
 
-    def tap(x):
+    def rng(x):
         if percentile >= 100.0:
             return jnp.max(jnp.abs(x))
         return jnp.percentile(jnp.abs(x).ravel(), percentile)
 
     @jax.jit
     def taps_fn(x):
-        taps = {INPUT_TAP: tap(x)}
-
-        def conv_block(name, x):
-            p = fold_dev[name]
-            y = jnp.maximum(_conv_fp(x, p["w"], jnp.float32) + p["b"], 0.0)
-            y = y * p["s"] + p["t"]
-            taps[name] = tap(y)
-            return y
-
-        def deconv_block(name, x):
-            p = fold_dev[name]
-            y = _deconv(x, p["w"].astype(jnp.float32), deconv_impl, jnp.float32)
-            y = y * p["s"] + p["t"]
-            taps[name] = tap(y)
-            return y
-
-        def concat(a, b):
-            return jnp.concatenate([a, b], axis=-1)
-
-        _unet_walk(x, conv_block, deconv_block, _maxpool, concat)
+        taps = {INPUT_TAP: rng(x)}
+        _folded_walk(fold_dev, x, deconv_impl, jnp.float32,
+                     tap=lambda name, y: taps.__setitem__(name, rng(y)))
         return taps
 
     per_image: Dict[str, List[float]] = {}

@@ -160,34 +160,46 @@ def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
     single compile."""
     if cfg.quantize != "int8":
         raise ValueError(f'unknown quantize mode "{cfg.quantize}" (use "none" or "int8")')
-    if not img_filepath_list:
-        raise ValueError("quantized inference needs at least one input image to calibrate on")
     from tpuseg.infer.quant import quantized_predict_from_checkpoint
     from tpuseg.utils.bigtiff import BigTiffReader
 
-    raw = []
+    raw = []  # (central crop <= _CALIB_MAX_DIM, whole-image mean, std)
     for p in img_filepath_list[: max(1, cfg.calibration_images)]:
         if cfg.streaming:
             with BigTiffReader(p) as reader:
+                _check_channels(reader.shape, cfg.number_channels, p)
+                # the stats streaming inference itself normalizes with
+                # (tiled.py inference_tiled_streaming) — a window's own
+                # stats can misfit badly, e.g. a blank center triggering
+                # the std<=1 guard while the slide's global std does not
+                mean, std = reader.streaming_zscore_stats()
                 h = min(reader.height, _CALIB_MAX_DIM)
                 w = min(reader.width, _CALIB_MAX_DIM)
-                img = reader.read_region((reader.height - h) // 2,
-                                         (reader.width - w) // 2, h, w)
-            raw.append((img, zscore_stats(img)))
+                crop = reader.read_region((reader.height - h) // 2,
+                                          (reader.width - w) // 2, h, w)
         else:
             img = imread(p)
-            raw.append((img, zscore_stats(img)))
-    # floor-to-x16 of the smallest dims: every image admits an exact central
-    # crop of this shape, so all calibration batches share one trace
-    ch = max(16, min(min(img.shape[0] for img, _ in raw), _CALIB_MAX_DIM) // 16 * 16)
-    cw = max(16, min(min(img.shape[1] for img, _ in raw), _CALIB_MAX_DIM) // 16 * 16)
+            _check_channels(img.shape, cfg.number_channels, p)
+            mean, std = zscore_stats(img)  # whole-image stats, as inference uses
+            h = min(img.shape[0], _CALIB_MAX_DIM)
+            w = min(img.shape[1], _CALIB_MAX_DIM)
+            y0, x0 = (img.shape[0] - h) // 2, (img.shape[1] - w) // 2
+            crop = img[y0:y0 + h, x0:x0 + w]
+            del img  # only the crop stays live across files
+        if crop.ndim == 2:
+            crop = crop[..., None]
+        raw.append((np.asarray(crop, np.float32), mean, std))
+    # floor-to-x16 of the smallest crop dims: every crop admits an exact
+    # central re-crop of this shape, so all calibration batches share one trace
+    ch = max(16, min(c.shape[0] for c, _, _ in raw) // 16 * 16)
+    cw = max(16, min(c.shape[1] for c, _, _ in raw) // 16 * 16)
     calib = []
-    for img, (mean, std) in raw:
-        if img.ndim == 2:
-            img = img[..., None]
-        y0 = max(0, (img.shape[0] - ch) // 2)
-        x0 = max(0, (img.shape[1] - cw) // 2)
-        crop = img[y0:y0 + ch, x0:x0 + cw].astype(np.float32)
+    for crop, mean, std in raw:
+        # sub-16px crops (degenerate inputs) pass through un-recropped;
+        # calibrate() reflect-pads them to x16 itself
+        y0 = max(0, (crop.shape[0] - ch) // 2)
+        x0 = max(0, (crop.shape[1] - cw) // 2)
+        crop = crop[y0:y0 + ch, x0:x0 + cw]
         safe_std = np.where(std <= 1.0, 1.0, std)  # imagereader.py:44-49 guard
         calib.append((crop - mean) / safe_std)
     print(f"quantize=int8: calibrating on {len(calib)} image(s) at {ch}x{cw}")
@@ -282,7 +294,9 @@ def inference(cfg: InferenceConfig) -> List[str]:
     ]
 
     model, variables = load_model(cfg)
-    if cfg.quantize == "none":
+    if cfg.quantize == "none" or not img_filepath_list:
+        # empty folder: nothing to predict AND nothing to calibrate on — keep
+        # the fp path's return-[] contract instead of failing in calibration
         predict_fn = make_predict_fn(model, variables)
     else:
         predict_fn = _quantized_predict_fn(cfg, model, variables, img_filepath_list)
