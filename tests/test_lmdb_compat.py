@@ -351,3 +351,55 @@ def test_roundtrip_nonstandard_page_size(tmp_path, psize):
         assert r.keys() == sorted(items)
         for i, k in enumerate(r.keys()):
             assert r.get_at(i) == items[k]
+
+
+def test_writer_emit_failure_cleans_up_and_close_retry_raises(tmp_path, monkeypatch):
+    """An emission failure (e.g. ENOSPC) must remove data.mdb.tmp and the
+    .spill sidecar, and a retried close() must raise — not silently succeed
+    with no database (review r3)."""
+    db = str(tmp_path / "fail.lmdb")
+    w = LmdbWriter(db)
+    w.put(b"k", b"v")
+    monkeypatch.setattr(LmdbWriter, "_emit",
+                        lambda self, out: (_ for _ in ()).throw(OSError("disk full")))
+    with pytest.raises(OSError, match="disk full"):
+        w.close()
+    data = os.path.join(db, "data.mdb")
+    assert not os.path.exists(data)
+    assert not os.path.exists(data + ".tmp")
+    assert not os.path.exists(data + ".spill")
+    with pytest.raises(IOError, match="not written"):
+        w.close()
+
+
+def test_writer_abort_writes_nothing(tmp_path):
+    db = str(tmp_path / "abort.lmdb")
+    w = LmdbWriter(db)
+    w.put(b"k", b"v")
+    w.abort()
+    data = os.path.join(db, "data.mdb")
+    assert not os.path.exists(data)
+    assert not os.path.exists(data + ".spill")
+    with pytest.raises(IOError, match="aborted"):
+        w.close()
+
+
+def test_writer_context_manager_aborts_on_exception(tmp_path):
+    """An exception inside the with-block must not commit a partial DB."""
+    db = str(tmp_path / "ctx.lmdb")
+    with pytest.raises(RuntimeError):
+        with LmdbWriter(db) as w:
+            w.put(b"k", b"v")
+            raise RuntimeError("boom")
+    assert not os.path.exists(os.path.join(db, "data.mdb"))
+
+
+def test_convert_db_output_is_existing_file(tmp_path):
+    """A plain file at the output path gets the clean already-exists error,
+    not NotADirectoryError from os.listdir (review r3)."""
+    from tpuseg.cli.convert_db import convert
+    db, _ = _reference_style_db(tmp_path)
+    out = tmp_path / "data.mdb"
+    out.write_bytes(b"not a directory")
+    with pytest.raises(IOError, match="already exists"):
+        convert(db, str(out), "tsr")

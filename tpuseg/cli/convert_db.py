@@ -23,7 +23,8 @@ def convert(input_db: str, output_db: str, fmt: str) -> int:
     from tpuseg.data.lmdb_compat import LmdbWriter
     from tpuseg.data.recordstore import RecordReader, RecordWriter
 
-    if os.path.exists(output_db) and os.listdir(output_db):
+    if os.path.exists(output_db) and (
+            not os.path.isdir(output_db) or os.listdir(output_db)):
         raise IOError(f"output database already exists and is not empty: {output_db}")
     reader = RecordReader(input_db)
     try:
@@ -38,7 +39,7 @@ def convert(input_db: str, output_db: str, fmt: str) -> int:
             # database holding only the records copied so far — a silently
             # truncated dataset that would train without error
             try:
-                writer.close()
+                writer.abort()
             finally:
                 shutil.rmtree(output_db, ignore_errors=True)
             raise

@@ -323,6 +323,7 @@ class LmdbWriter:
         self._psize = psize
         self._mapsize = mapsize
         self._closed = False
+        self._committed = False
         # inline limit: key+data node must fit a half page like liblmdb
         self._nodemax = ((psize - PAGEHDRSZ) // 2) & ~1
         # bounded memory: values spill to a temp sidecar as they arrive
@@ -360,12 +361,59 @@ class LmdbWriter:
 
     def close(self) -> None:
         if self._closed:
+            if not self._committed:
+                raise IOError(
+                    "lmdb: writer was aborted or a previous close() failed; "
+                    f"{self._path} was not written")
             return
         self._closed = True
-        psize = self._psize
-        counts = {"branch": 0, "leaf": 0, "overflow": 0}
         tmp = self._path + ".tmp"
         out = open(tmp, "wb")
+        try:
+            self._emit(out)
+            out.close()
+            os.replace(tmp, self._path)
+            self._committed = True
+        finally:
+            # a failure mid-emission (e.g. ENOSPC) must not leak the tmp fd
+            # or leave data.mdb.tmp/.spill behind — and a retried close()
+            # raises above instead of silently "succeeding" with no database
+            if not self._committed:
+                try:
+                    out.close()
+                except OSError:
+                    pass
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+            self._spill.close()
+            try:
+                os.remove(self._spill_path)
+            except OSError:
+                pass
+        # an empty lock file, as liblmdb leaves behind
+        lock = os.path.join(os.path.dirname(self._path), "lock.mdb")
+        if not os.path.exists(lock):
+            open(lock, "wb").close()
+
+    def abort(self) -> None:
+        """Release resources without writing the database (the directory may
+        hold a stale ``.spill``-free partial state; callers delete it)."""
+        if self._closed:
+            return
+        self._closed = True
+        self._spill.close()
+        try:
+            os.remove(self._spill_path)
+        except OSError:
+            pass
+
+    def _emit(self, out) -> None:
+        """Stream the complete database image (meta + leaf/branch/overflow
+        pages) into the open ``out`` file."""
+        psize = self._psize
+        counts = {"branch": 0, "leaf": 0, "overflow": 0}
         out.write(b"\0" * (2 * psize))  # meta page 0/1 placeholders
         next_pgno = [2]  # pages stream to the file in pgno order
 
@@ -505,25 +553,16 @@ class LmdbWriter:
             body = page_hdr(pgno, P_META, 0, 0) + meta
             return body + b"\0" * (psize - len(body))
 
-        try:
-            out.seek(0)
-            out.write(meta_page(0))
-            out.write(meta_page(1))
-            out.close()
-            os.replace(tmp, self._path)
-        finally:
-            self._spill.close()
-            try:
-                os.remove(self._spill_path)
-            except OSError:
-                pass
-        # an empty lock file, as liblmdb leaves behind
-        lock = os.path.join(os.path.dirname(self._path), "lock.mdb")
-        if not os.path.exists(lock):
-            open(lock, "wb").close()
+        out.seek(0)
+        out.write(meta_page(0))
+        out.write(meta_page(1))
 
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, exc, tb):
+        # an exception inside the with-block must not commit a partial DB
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()

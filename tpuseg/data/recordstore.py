@@ -143,6 +143,16 @@ class RecordWriter:
             self._pyfile.close()
             self._pyfile = None
 
+    def abort(self) -> None:
+        """Release file handles without finalizing; the directory may hold a
+        truncated data file (callers delete it)."""
+        if self._handle is not None:
+            self._lib.tsr_writer_close(self._handle)
+            self._handle = None
+        elif self._pyfile is not None:
+            self._pyfile.close()
+            self._pyfile = None
+
     def __enter__(self):
         return self
 
