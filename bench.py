@@ -294,9 +294,16 @@ def main(hw: int = 512, batch: int = 8):
 
 
 def _cli_int(flag: str, default: int) -> int:
-    if flag in sys.argv:
-        return int(sys.argv[sys.argv.index(flag) + 1])
-    return default
+    if flag not in sys.argv:
+        return default
+    i = sys.argv.index(flag)
+    if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+        sys.exit(f"bench.py: {flag} requires an integer value")
+    try:
+        return int(sys.argv[i + 1])
+    except ValueError:
+        sys.exit(f"bench.py: {flag} requires an integer value, "
+                 f"got {sys.argv[i + 1]!r}")
 
 
 if __name__ == "__main__":

@@ -19,3 +19,22 @@ def test_throughput_fields_reproduce_roofline():
     f = bench._throughput_fields(74.0, 512)
     assert abs(f["tflops_per_sec"] - 96.9) < 0.5  # ~97 TF/s (BASELINE.md)
     assert abs(f["mfu"] - 0.49) < 0.01
+
+
+def test_cli_int_rejects_missing_or_bad_values(monkeypatch):
+    """--hw with no value (or an adjacent flag) exits with a usage message
+    instead of IndexError/silent misparse (review r3)."""
+    import pytest
+
+    monkeypatch.setattr("sys.argv", ["bench.py", "--hw", "1024"])
+    assert bench._cli_int("--hw", 512) == 1024
+    assert bench._cli_int("--batch", 8) == 8  # absent -> default
+    monkeypatch.setattr("sys.argv", ["bench.py", "--hw"])
+    with pytest.raises(SystemExit, match="requires an integer"):
+        bench._cli_int("--hw", 512)
+    monkeypatch.setattr("sys.argv", ["bench.py", "--batch", "--hw", "1024"])
+    with pytest.raises(SystemExit, match="requires an integer"):
+        bench._cli_int("--batch", 8)
+    monkeypatch.setattr("sys.argv", ["bench.py", "--hw", "big"])
+    with pytest.raises(SystemExit, match="requires an integer"):
+        bench._cli_int("--hw", 512)

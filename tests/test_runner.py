@@ -373,3 +373,91 @@ def test_inference_runner_quantized_channel_mismatch_fails_fast(ckpt, tmp_path):
         base_features=2, quantize="int8")
     with pytest.raises(ValueError, match="3 channel.*number_channels=1"):
         inference(cfg)
+
+
+def test_inference_runner_quantize_rejects_unknown_mode_empty_folder(ckpt, tmp_path):
+    """Mode validation must not be skipped by the empty-folder shortcut
+    (review r3): a bad mode fails loudly even with nothing to predict."""
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    cfg = InferenceConfig(
+        checkpoint_filepath=ckpt, image_folder=imgdir,
+        output_folder=str(tmp_path / "out"),
+        number_classes=2, number_channels=1, batch_size=2, dtype="float32",
+        base_features=2, quantize="int4")
+    with pytest.raises(ValueError, match="unknown quantize mode"):
+        inference(cfg)
+
+
+def test_max_auto_tile_scales_with_batch():
+    """The auto-tile HBM cap was measured at batch 8 x 1536^2; larger
+    batches shrink the tile so batch x tile^2 stays inside that envelope,
+    smaller batches do not extrapolate above 1536 (review r3)."""
+    from tpuseg.infer.tiled import MAX_AUTO_TILE, max_auto_tile
+
+    assert max_auto_tile(8) == MAX_AUTO_TILE
+    assert max_auto_tile(1) == MAX_AUTO_TILE  # never above the validated point
+    for batch in (8, 16, 24, 32, 64):
+        tile = max_auto_tile(batch)
+        assert tile % 16 == 0
+        assert batch * tile * tile <= 8 * MAX_AUTO_TILE * MAX_AUTO_TILE
+    assert max_auto_tile(16) < MAX_AUTO_TILE
+
+
+def test_streaming_quantized_reuses_calibration_stats(ckpt, tmp_path, monkeypatch):
+    """int8 calibration's full-slide stats scan is reused by streaming
+    inference instead of being recomputed (review r3)."""
+    from tpuseg.utils import bigtiff
+
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 4096, size=(400, 330)).astype(np.uint16)
+    bigtiff.write_bigtiff(os.path.join(imgdir, "slide.tif"), img, tile=(128, 128))
+
+    calls = []
+    real = bigtiff.BigTiffReader.streaming_zscore_stats
+
+    def counted(self, *a, **k):
+        calls.append(1)
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(bigtiff.BigTiffReader, "streaming_zscore_stats", counted)
+    outdir = str(tmp_path / "out")
+    os.makedirs(outdir)
+    cfg = InferenceConfig(
+        checkpoint_filepath=ckpt, image_folder=imgdir, output_folder=outdir,
+        number_classes=2, number_channels=1, tile_size=288, radius=96,
+        batch_size=2, dtype="float32", base_features=2, streaming=True,
+        quantize="int8")
+    inference(cfg)
+    assert len(calls) == 1  # once in calibration, zero in the streaming pass
+
+
+def test_read_ahead_uses_calibration_cache(tmp_path, monkeypatch):
+    """Paths whose decoded image sits in the calibration cache are not
+    re-read; the cache drains as the stream is consumed (review r3)."""
+    import tpuseg.infer.runner as runner_mod
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"im{i}.tif")
+        imwrite(p, np.full((32, 32), i, np.uint8))
+        paths.append(p)
+
+    reads = []
+    real = runner_mod.imread
+
+    def counted(p):
+        reads.append(p)
+        return real(p)
+
+    monkeypatch.setattr(runner_mod, "imread", counted)
+    from tpuseg.data.preprocess import zscore_stats as zs
+    cached_img = real(paths[0])
+    cache = {paths[0]: (cached_img, zs(cached_img)),
+             paths[1]: (None, zs(real(paths[1])))}  # stats-only entry
+    out = list(runner_mod._read_ahead(paths, enabled=False, cache=cache))
+    assert [p for p, _, _ in out] == paths
+    assert reads == paths[1:]  # cached image skipped, stats-only re-read
+    assert not cache  # drained

@@ -281,15 +281,13 @@ def calibrate(folded: Dict[str, Dict[str, np.ndarray]],
                      tap=lambda name, y: taps.__setitem__(name, rng(y)))
         return taps
 
+    # the serving graph's input-geometry contract, shared with inference
+    # (one definition — review r3): reflect-pad to x16, HW -> HWC
+    from tpuseg.infer.tiled import _pad_to_multiple
+
     per_image: Dict[str, List[float]] = {}
     for img in images:
-        arr = np.asarray(img, np.float32)
-        if arr.ndim == 2:
-            arr = arr[..., None]
-        pad_y = (-arr.shape[0]) % 16
-        pad_x = (-arr.shape[1]) % 16
-        if pad_y or pad_x:
-            arr = np.pad(arr, ((0, pad_y), (0, pad_x), (0, 0)), mode="reflect")
+        arr, _, _ = _pad_to_multiple(np.asarray(img, np.float32))
         taps = jax.device_get(taps_fn(jnp.asarray(arr[None])))
         for k, v in taps.items():
             per_image.setdefault(k, []).append(float(v))

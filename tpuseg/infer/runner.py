@@ -84,7 +84,8 @@ def load_model(cfg: InferenceConfig):
 
 
 def _inference_streaming(cfg: InferenceConfig, model, variables, predict_fn,
-                         img_filepath_list: List[str], mesh=None) -> List[str]:
+                         img_filepath_list: List[str], mesh=None,
+                         calib_cache: Optional[dict] = None) -> List[str]:
     """Whole-slide streaming mode: every input must be a tiled BigTIFF; halo
     windows stream through the device and the mask is written incrementally,
     so images larger than host RAM segment end to end (the workload the
@@ -117,9 +118,13 @@ def _inference_streaming(cfg: InferenceConfig, model, variables, predict_fn,
                 tile = _auto_tile(cfg, reader.height, reader.width, radius,
                                   mesh, max_dim=min(reader.height, reader.width))
             out_path = os.path.join(cfg.output_folder, slide_name)
+            # int8 calibration already paid this slide's full-slide stats
+            # scan — reuse it instead of scanning twice (review r3)
+            cached = (calib_cache or {}).pop(img_filepath, None)
             inference_tiled_streaming(
                 reader, predict_fn, out_path, tile, radius,
-                cfg.batch_size, num_classes=cfg.number_classes, mesh=mesh)
+                cfg.batch_size, num_classes=cfg.number_classes, mesh=mesh,
+                norm_stats=None if cached is None else cached[1])
         written.append(out_path)
     return written
 
@@ -131,11 +136,15 @@ def _auto_tile(cfg: InferenceConfig, height: int, width: int, radius: int,
     chunk, capped by ``max_dim`` (streaming requires slide >= tile), and
     degrading to the configured tile when no halo-valid size exists (e.g.
     a slide barely above the threshold) — provided that tile is itself
-    halo-valid, else the actionable search error propagates."""
-    from tpuseg.infer.tiled import MAX_AUTO_TILE, choose_tile_size
+    halo-valid, else the actionable search error propagates. The cap
+    shrinks with the per-device batch (tiled.max_auto_tile) so a
+    --batch_size above 8 cannot push batch x tile^2 past the HBM envelope
+    the 1536 ceiling was measured at (review r3)."""
+    from tpuseg.infer.tiled import choose_tile_size, max_auto_tile
 
     group = _group_size(cfg, mesh)
-    cap = MAX_AUTO_TILE if max_dim is None else min(MAX_AUTO_TILE, (max_dim // 16) * 16)
+    hbm_cap = max_auto_tile(cfg.batch_size)
+    cap = hbm_cap if max_dim is None else min(hbm_cap, (max_dim // 16) * 16)
     try:
         tile = choose_tile_size(height, width, radius,
                                 min_tile=min(512, cap), max_tile=cap, chunk=group)
@@ -148,6 +157,11 @@ def _auto_tile(cfg: InferenceConfig, height: int, width: int, radius: int,
 
 
 _CALIB_MAX_DIM = 512  # one canonical calibration shape -> exactly one compile
+# decoded calibration inputs this large in total may stay cached for reuse
+# by the inference pass (review r3: calibration used to re-read what
+# _read_ahead decodes again); beyond the budget only the cheap stats are
+# kept and the image is re-read — bounding peak host memory
+_CALIB_CACHE_BYTES = 1 << 30
 
 
 def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
@@ -157,13 +171,21 @@ def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
     exactly as inference normalizes them (whole-image z-score stats applied
     to a central crop; streaming slides contribute a central window with its
     own stats). All crops share one canonical shape so calibration costs a
-    single compile."""
+    single compile.
+
+    Returns ``(predict_fn, calib_cache)`` where ``calib_cache`` maps each
+    calibration path to ``(decoded image or None, (mean, std))`` so the
+    inference pass reuses the work calibration already paid: streaming
+    slides skip their second full-slide stats scan, in-RAM images skip the
+    re-decode (up to ``_CALIB_CACHE_BYTES`` total)."""
     if cfg.quantize != "int8":
         raise ValueError(f'unknown quantize mode "{cfg.quantize}" (use "none" or "int8")')
     from tpuseg.infer.quant import quantized_predict_from_checkpoint
     from tpuseg.utils.bigtiff import BigTiffReader
 
     raw = []  # (central crop <= _CALIB_MAX_DIM, whole-image mean, std)
+    calib_cache: dict = {}
+    cached_bytes = 0
     for p in img_filepath_list[: max(1, cfg.calibration_images)]:
         if cfg.streaming:
             with BigTiffReader(p) as reader:
@@ -177,6 +199,7 @@ def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
                 w = min(reader.width, _CALIB_MAX_DIM)
                 crop = reader.read_region((reader.height - h) // 2,
                                           (reader.width - w) // 2, h, w)
+            calib_cache[p] = (None, (mean, std))
         else:
             img = imread(p)
             _check_channels(img.shape, cfg.number_channels, p)
@@ -185,7 +208,12 @@ def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
             w = min(img.shape[1], _CALIB_MAX_DIM)
             y0, x0 = (img.shape[0] - h) // 2, (img.shape[1] - w) // 2
             crop = img[y0:y0 + h, x0:x0 + w]
-            del img  # only the crop stays live across files
+            if cached_bytes + img.nbytes <= _CALIB_CACHE_BYTES:
+                calib_cache[p] = (img, (mean, std))
+                cached_bytes += img.nbytes
+            else:
+                calib_cache[p] = (None, (mean, std))
+                del img  # only the crop stays live across files
         if crop.ndim == 2:
             crop = crop[..., None]
         raw.append((np.asarray(crop, np.float32), mean, std))
@@ -203,8 +231,9 @@ def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
         safe_std = np.where(std <= 1.0, 1.0, std)  # imagereader.py:44-49 guard
         calib.append((crop - mean) / safe_std)
     print(f"quantize=int8: calibrating on {len(calib)} image(s) at {ch}x{cw}")
-    return quantized_predict_from_checkpoint(
+    predict_fn = quantized_predict_from_checkpoint(
         model, variables, calib, percentile=cfg.calibration_percentile)
+    return predict_fn, calib_cache
 
 
 def _group_size(cfg: InferenceConfig, mesh) -> int:
@@ -229,17 +258,30 @@ def _check_channels(img_shape, number_channels: int, path: str) -> None:
             f"be either HW or HWC dimension ordering")
 
 
-def _read_ahead(paths: List[str], depth: int = 1, enabled: bool = True):
+def _read_ahead(paths: List[str], depth: int = 1, enabled: bool = True,
+                cache: Optional[dict] = None):
     """Yield ``(path, image, zscore_stats)`` with the disk read + whole-image
     statistics of the *next* image overlapped with the caller's device work.
     The reference reads synchronously inside its loop (inference.py:195-206);
     one background thread with a bounded slot hides that latency without
     reordering or batching semantics. ``enabled=False`` reads synchronously
-    (one decoded image alive at a time — the round-1 memory profile)."""
+    (one decoded image alive at a time — the round-1 memory profile).
+    ``cache`` maps paths to ``(decoded image or None, stats)`` precomputed
+    by int8 calibration; entries are popped on use so the memory frees as
+    the head of the stream is consumed."""
+    cache = cache or {}
+
+    def _load(p):
+        img, stats = cache.pop(p, (None, None))
+        if img is None:
+            img = imread(p)
+        if stats is None:
+            stats = zscore_stats(img)
+        return p, img, stats
+
     if not enabled:
         for p in paths:
-            img = imread(p)
-            yield p, img, zscore_stats(img)
+            yield _load(p)
         return
     # cancellable so an abandoned generator (e.g. inference raised on one
     # image) releases the producer instead of pinning it plus ~2 decoded
@@ -252,8 +294,7 @@ def _read_ahead(paths: List[str], depth: int = 1, enabled: bool = True):
             for p in paths:
                 if q.stopped():
                     return
-                img = imread(p)
-                if not q.put((p, img, zscore_stats(img))):
+                if not q.put(_load(p)):
                     return
         except BaseException as e:  # propagate into the consumer
             q.put(e)
@@ -278,6 +319,12 @@ def _read_ahead(paths: List[str], depth: int = 1, enabled: bool = True):
 def inference(cfg: InferenceConfig) -> List[str]:
     """Segment every ``*.image_format`` file in ``image_folder``; returns the
     list of written mask paths."""
+    # validate before any side effects: argparse guards the CLI but library
+    # callers can pass any string, and an empty image folder used to let a
+    # bad mode silently return [] (review r3)
+    if cfg.quantize not in ("none", "int8"):
+        raise ValueError(f'unknown quantize mode "{cfg.quantize}" (use "none" or "int8")')
+
     print("Arguments:")
     print(f"checkpoint_filepath = {cfg.checkpoint_filepath}")
     print(f"image_folder = {cfg.image_folder}")
@@ -294,12 +341,14 @@ def inference(cfg: InferenceConfig) -> List[str]:
     ]
 
     model, variables = load_model(cfg)
+    calib_cache: dict = {}
     if cfg.quantize == "none" or not img_filepath_list:
         # empty folder: nothing to predict AND nothing to calibrate on — keep
         # the fp path's return-[] contract instead of failing in calibration
         predict_fn = make_predict_fn(model, variables)
     else:
-        predict_fn = _quantized_predict_fn(cfg, model, variables, img_filepath_list)
+        predict_fn, calib_cache = _quantized_predict_fn(
+            cfg, model, variables, img_filepath_list)
 
     mesh = None
     if cfg.data_parallel and jax.device_count() > 1:
@@ -310,7 +359,7 @@ def inference(cfg: InferenceConfig) -> List[str]:
 
     if cfg.streaming:
         return _inference_streaming(cfg, model, variables, predict_fn,
-                                    img_filepath_list, mesh)
+                                    img_filepath_list, mesh, calib_cache)
 
     radius = cfg.radius
     written = []
@@ -336,7 +385,8 @@ def inference(cfg: InferenceConfig) -> List[str]:
 
     print("Starting inference of file list")
     for i, (img_filepath, img, stats) in enumerate(
-            _read_ahead(img_filepath_list, enabled=cfg.read_ahead)):
+            _read_ahead(img_filepath_list, enabled=cfg.read_ahead,
+                        cache=calib_cache)):
         _, slide_name = os.path.split(img_filepath)
         print(f"{i}/{len(img_filepath_list)} : {slide_name}")
         print(f"  img.shape={img.shape}")

@@ -36,6 +36,19 @@ TILE_SIZE = 1024  # inference.py:24
 MAX_AUTO_TILE = 1536
 
 
+def max_auto_tile(per_device_batch: int) -> int:
+    """HBM-envelope tile cap for auto-tile at a given per-device batch.
+
+    The 1536 ceiling was validated at batch 8 (8 x 1536^2 per-device pixels
+    fit, 8 x 2048^2 OOMs the compile on a v5e); a larger batch must shrink
+    the tile so batch x tile^2 stays inside the same measured envelope.
+    Smaller batches do NOT raise the cap — 1536 is the largest validated
+    tile, and activation memory is not perfectly linear in batch."""
+    budget = 8 * MAX_AUTO_TILE * MAX_AUTO_TILE  # per-device pixels, measured
+    cap = int((budget / max(1, per_device_batch)) ** 0.5)
+    return min(MAX_AUTO_TILE, cap // SIZE_FACTOR * SIZE_FACTOR)
+
+
 def choose_tile_size(height: int, width: int, radius: int = RADIUS,
                      min_tile: int = 512, max_tile: int = MAX_AUTO_TILE,
                      chunk: int = 8) -> int:
