@@ -207,3 +207,37 @@ def test_multihost_worker_processes_partition(db):
 def test_reader_rejects_bad_process_identity(db):
     with pytest.raises(ValueError, match="process_index"):
         ImageReader(db, process_index=2, process_count=2)
+
+
+def test_reader_restart_after_shutdown(db):
+    """startup() after shutdown() must yield a fresh stream: the old outQ's
+    final None sentinels (and stale batches) and any unconsumed terminate
+    tokens must not end or poison the restarted run (review r3)."""
+    r = ImageReader(db, num_workers=2, use_augmentation=False, seed=0)
+    r.startup()
+    first = [next(r.generator()) for _ in range(3)]
+    r.shutdown()
+    r.startup()
+    gen = r.generator()
+    second = [next(gen) for _ in range(3)]
+    r.shutdown()
+    assert len(first) == len(second) == 3
+    for img, _ in second:
+        assert img is not None
+
+
+def test_balanced_all_empty_classes_rejected(tmp_path):
+    """If no class in range 0..number_classes-1 has an example, the balanced
+    re-draw loop could never terminate inside a worker — fail at
+    construction instead (review r3)."""
+    from tpuseg.data.build_db import serialize_image_mask_pair
+    from tpuseg.data.recordstore import RecordWriter
+
+    d = str(tmp_path / "hi-classes.lmdb")
+    w = RecordWriter(d)
+    img = np.zeros((32, 32, 1), dtype=np.uint16)
+    msk = np.full((32, 32), 2, dtype=np.uint8)
+    w.put("a:2,3", serialize_image_mask_pair(img, msk))
+    w.close()
+    with pytest.raises(IOError, match="has any examples"):
+        ImageReader(d, balance_classes=True, number_classes=2)

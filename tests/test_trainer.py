@@ -249,3 +249,29 @@ def test_train_model_batch_echo(dbs, tmp_path):
     result = train_model(cfg)
     assert result.epochs_run == 1
     assert np.isfinite(result.final_train_loss)
+
+
+def test_device_seed_derivation():
+    """seed=None draws fresh entropy per run — key 0 would replay identical
+    dropout/device-augmentation streams across nominally independent runs
+    (review r3); an explicit seed passes through untouched."""
+    from tpuseg.train.trainer import _device_seed
+
+    assert _device_seed(5) == 5
+    a, b = _device_seed(None), _device_seed(None)
+    assert a != b  # 4 bytes of entropy; collision odds ~2^-32
+
+
+def test_summary_writers_null_on_nonprimary(tmp_path, monkeypatch):
+    """Non-primary hosts must not write TensorBoard events into the shared
+    output folder (review r3)."""
+    import jax
+
+    from tpuseg.train.trainer import _NullWriter, _summary_writers
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    tw, sw = _summary_writers(str(tmp_path))
+    assert isinstance(tw, _NullWriter) and isinstance(sw, _NullWriter)
+    tw.add_scalar("loss", 0.0, 0)
+    tw.close()
+    assert os.listdir(str(tmp_path)) == []

@@ -139,6 +139,15 @@ class ImageReader:
                         while len(self.keys) <= k:
                             self.keys.append([])
                         self.keys[k].append(key)
+                # fail here, not in the workers: if no in-range class has a
+                # single example, the balanced re-draw loop could never
+                # terminate (workers would spin without polling terminateQ)
+                if not any(self.keys[i]
+                           for i in range(min(self.nb_classes, len(self.keys)))):
+                    raise IOError(
+                        f"balance_classes: none of classes 0..{self.nb_classes - 1} "
+                        f"has any examples in {img_db} (observed classes: "
+                        f"{[i for i, ks in enumerate(self.keys) if ks]})")
         finally:
             store.close()
 
@@ -178,6 +187,13 @@ class ImageReader:
     def startup(self) -> None:
         self.workers = None
         self.done = False
+        # fresh queues every run: after a shutdown the old outQ still holds
+        # the workers' final None sentinels (and possibly stale batches), and
+        # terminateQ may hold unconsumed stop tokens — either would end or
+        # poison a restarted stream instantly
+        self.terminateQ = self._mp.Queue(maxsize=self.nb_workers)
+        self.outQ = self._mp.Queue(maxsize=self.maxOutQSize)
+        self.idQ = self._mp.Queue(maxsize=self.nb_workers)
         for i in range(self.nb_workers):
             self.idQ.put(i)
         self.workers = [
@@ -220,16 +236,17 @@ class ImageReader:
         """Index into keys_flat for the next sample."""
         if self.shuffle:
             if self.balance_classes:
-                label_idx = rng.randint(0, self.nb_classes - 1)
-                try:
-                    nb_examples = len(self.keys[label_idx])
-                except IndexError:
-                    print("ImageReader Error: Number of classes specified differs "
-                          "from number of observed classes in data")
-                    raise
+                nb_examples = 0
                 while nb_examples == 0:
                     label_idx = rng.randint(0, self.nb_classes - 1)
-                    nb_examples = len(self.keys[label_idx])
+                    try:
+                        # guard every draw, not just the first — the
+                        # reference wraps the whole access (imagereader.py:221-229)
+                        nb_examples = len(self.keys[label_idx])
+                    except IndexError:
+                        print("ImageReader Error: Number of classes specified "
+                              "differs from number of observed classes in data")
+                        raise
                 key = self.keys[label_idx][rng.randint(0, nb_examples - 1)]
                 return self._key_pos[key]
             return rng.randint(0, len(self.keys_flat) - 1)

@@ -184,18 +184,9 @@ def make_parallel_raw_steps(model, mesh: Mesh, num_classes: int, aug_params=None
         functools.partial(steps_lib.eval_step, model, label_smoothing=label_smoothing),
         in_shardings=(state_shard, proc, proc), out_shardings=repl)
 
-    def _train(state, raw_images, raw_masks):
-        rng, aug_rng = split(state.rng)
-        images, labels = aug(aug_rng, raw_images, raw_masks)
-        return tstep_inner(state.replace(rng=rng), images, labels)
-
-    def _eval(state, raw_images, raw_masks):
-        # rng unused under augment=False; fold_in so the live training key
-        # is never handed to another consumer
-        images, labels = aug_eval(jax.random.fold_in(state.rng, 1), raw_images, raw_masks)
-        return estep_inner(state, images, labels)
-
-    return _train, _eval
+    # rng threading lives in one place (steps.compose_raw_steps), shared
+    # with the single-device raw path
+    return steps_lib.compose_raw_steps(split, aug, aug_eval, tstep_inner, estep_inner)
 
 
 def replicate_state(state, mesh: Mesh):

@@ -121,6 +121,28 @@ def make_jitted_steps(model: UNet, label_smoothing: float = 0.0):
     return tstep, estep
 
 
+def compose_raw_steps(split, aug_train, aug_eval, tstep_inner, estep_inner):
+    """Thread the RNG through the two-program (augment, optimize)
+    composition — the single definition of the rng convention shared by the
+    single-device and mesh-sharded raw paths (parallel.mesh builds the same
+    composition over sharded programs; a divergence here silently forks the
+    two paths' RNG semantics)."""
+
+    def _train(state: TrainState, raw_images, raw_masks):
+        rng, aug_rng = split(state.rng)
+        images, labels = aug_train(aug_rng, raw_images, raw_masks)
+        return tstep_inner(state.replace(rng=rng), images, labels)
+
+    def _eval(state: TrainState, raw_images, raw_masks):
+        # rng is unused with augment=False; fold_in anyway so eval never
+        # hands the live training key to another consumer
+        images, labels = aug_eval(jax.random.fold_in(state.rng, 1),
+                                  raw_images, raw_masks)
+        return estep_inner(state, images, labels)
+
+    return _train, _eval
+
+
 def make_jitted_raw_steps(model: UNet, num_classes: int, aug_params=None,
                           augment: bool = True, label_smoothing: float = 0.0):
     """(train_step, eval_step) over RAW uint batches: on-device augmentation,
@@ -145,18 +167,8 @@ def make_jitted_raw_steps(model: UNet, num_classes: int, aug_params=None,
     )
     estep_inner = jax.jit(functools.partial(eval_step, model, label_smoothing=label_smoothing))
 
-    def _train(state: TrainState, raw_images, raw_masks):
-        rng, aug_rng = split(state.rng)
-        images, labels = augment_and_preprocess_batch(
-            aug_rng, raw_images, raw_masks, aug_params, num_classes, augment)
-        return tstep_inner(state.replace(rng=rng), images, labels)
-
-    def _eval(state: TrainState, raw_images, raw_masks):
-        # rng is unused with augment=False; fold_in anyway so eval never
-        # hands the live training key to another consumer
-        images, labels = augment_and_preprocess_batch(
-            jax.random.fold_in(state.rng, 1), raw_images, raw_masks,
-            aug_params, num_classes, augment=False)
-        return estep_inner(state, images, labels)
-
-    return _train, _eval
+    aug_train = functools.partial(augment_and_preprocess_batch, params=aug_params,
+                                  num_classes=num_classes, augment=augment)
+    aug_eval = functools.partial(augment_and_preprocess_batch, params=aug_params,
+                                 num_classes=num_classes, augment=False)
+    return compose_raw_steps(split, aug_train, aug_eval, tstep_inner, estep_inner)

@@ -107,7 +107,21 @@ class TrainResult:
     final_train_loss: float
 
 
+class _NullWriter:
+    """TensorBoard stand-in for non-primary hosts: every host computes the
+    same psum'd metrics, so only process 0 writes events (concurrent writers
+    into one output_folder on shared storage would collide)."""
+
+    def add_scalar(self, *a, **k) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def _summary_writers(output_folder: str):
+    if jax.process_index() != 0:
+        return _NullWriter(), _NullWriter()
     from tensorboardX import SummaryWriter
 
     current_time = datetime.datetime.now().strftime("%Y%m%dT%H%M%S")
@@ -116,6 +130,22 @@ def _summary_writers(output_folder: str):
     os.makedirs(train_dir, exist_ok=True)
     os.makedirs(test_dir, exist_ok=True)
     return SummaryWriter(train_dir), SummaryWriter(test_dir)
+
+
+def _device_seed(seed: Optional[int]) -> int:
+    """The device RNG seed: the configured one, or fresh entropy when
+    unseeded — key 0 would replay identical dropout and device-augmentation
+    streams across nominally independent runs. Hosts must agree on the key
+    (the train state is replicated SPMD), so the primary's draw is
+    broadcast."""
+    if seed is not None:
+        return seed
+    entropy = int.from_bytes(os.urandom(4), "little")
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        entropy = int(multihost_utils.broadcast_one_to_all(np.int64(entropy)))
+    return entropy
 
 
 def train_model(config: TrainConfig) -> TrainResult:
@@ -177,7 +207,7 @@ def train_model(config: TrainConfig) -> TrainResult:
     number_channels = train_reader.get_image_size()[2]
     model = UNet(num_classes=cfg.number_classes, base_features=cfg.base_features,
                  dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
-    rng = jax.random.PRNGKey(0 if cfg.seed is None else cfg.seed)
+    rng = jax.random.PRNGKey(_device_seed(cfg.seed))
     state = create_train_state(model, rng, number_channels, cfg.learning_rate)
     if cfg.resume_checkpoint:
         from tpuseg.utils.checkpoint import restore_train_state
@@ -260,7 +290,17 @@ def train_model(config: TrainConfig) -> TrainResult:
             # reference runs steps 0..size inclusive (break on step > size)
             for step in range(cur_train_epoch_size + 1):
                 if step % echo == 0:
-                    images, labels = next(train_iter)
+                    try:
+                        images, labels = next(train_iter)
+                    except StopIteration:
+                        # a naked StopIteration out of train_model is opaque
+                        # (and silently ends any wrapping generator); match
+                        # the test path's explanatory failure
+                        raise RuntimeError(
+                            "train stream ended: a train reader worker died "
+                            "(see the Reader Error banner above) or the "
+                            "train database is smaller than one batch"
+                        ) from None
                     win_images += global_batch_size
                 state, metrics = tstep(state, images, labels)
                 # device-side accumulation: lazy scalar adds, no host sync
@@ -299,8 +339,12 @@ def train_model(config: TrainConfig) -> TrainResult:
 
             # test epoch (train.py:152-171); the iterator must be closed so
             # its producer thread stops consuming the shared reader queue
-            epoch_test_loss = []
-            epoch_test_acc = []
+            # device-side accumulation, one readback after the loop — a
+            # float() per eval batch would serialize the eval stream against
+            # host latency, the cost the train loop's windowed accumulation
+            # exists to avoid
+            sum_loss = sum_acc = None
+            n_eval = 0
             test_iter = device_prefetch(test_reader.batches(local_batch_size), data_sharding)
             try:
                 for step in range(int(test_epoch_size) + 1):
@@ -309,23 +353,25 @@ def train_model(config: TrainConfig) -> TrainResult:
                     except StopIteration:
                         break
                     m = estep(state, images, labels)
-                    epoch_test_loss.append(float(m["loss"]))
-                    epoch_test_acc.append(float(m["accuracy"]))
+                    sum_loss = m["loss"] if sum_loss is None else sum_loss + m["loss"]
+                    sum_acc = m["accuracy"] if sum_acc is None else sum_acc + m["accuracy"]
+                    n_eval += 1
             finally:
                 test_iter.close()
-            if not epoch_test_loss:
+            if not n_eval:
                 raise RuntimeError(
                     "test epoch produced no batches — the test readers died "
                     "or the test database is smaller than one global batch")
-            test_loss.append(float(np.mean(epoch_test_loss)))
-            mean_acc = float(np.mean(epoch_test_acc))
+            test_loss.append(float(sum_loss) / n_eval)
+            mean_acc = float(sum_acc) / n_eval
             print(f"Test Epoch: {epoch}: Loss = {test_loss[-1]} Accuracy = {mean_acc}")
             test_writer.add_scalar("loss", test_loss[-1], int((epoch + 1) * train_epoch_size))
             test_writer.add_scalar("accuracy", mean_acc, int((epoch + 1) * train_epoch_size))
 
-            with open(os.path.join(cfg.output_folder, "test_loss.csv"), "w") as csvfile:
-                for v in test_loss:
-                    csvfile.write(str(v) + "\n")
+            if jax.process_index() == 0:  # peers would clobber the same file
+                with open(os.path.join(cfg.output_folder, "test_loss.csv"), "w") as csvfile:
+                    for v in test_loss:
+                        csvfile.write(str(v) + "\n")
 
             print(f"Epoch took: {time.time() - start_time} s")
 

@@ -4,6 +4,13 @@ The reference saves ``tf.train.Checkpoint(optimizer, model)`` only when the
 test loss improves (train.py:96, 181-184) and restores with
 ``expect_partial()`` for inference (model.py:81-83).  Orbax gives the same
 best-only policy plus free train-resume (optimizer state is saved in both).
+
+Multi-host: the train state may hold non-fully-addressable arrays (ZeRO-1
+shards the Adam moments over the global 'data' axis), which
+``jax.device_get`` cannot fetch.  ``save_checkpoint`` gathers those to host
+collectively (every process must call it) and only process 0 writes — all
+hosts writing the same directory on shared storage would corrupt the
+checkpoint (orbax ``force=True`` deletes the dir a peer is mid-write in).
 """
 
 from __future__ import annotations
@@ -27,11 +34,36 @@ def _to_save_tree(state) -> dict:
     }
 
 
+def _fully_addressable(tree) -> bool:
+    return all(getattr(x, "is_fully_addressable", True)
+               for x in jax.tree.leaves(tree))
+
+
+def _gather_to_host(tree):
+    """Collective gather of a (possibly cross-host-sharded) state tree to
+    host numpy on every process. Must be called by all processes."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree, tiled=False)
+
+
 def save_checkpoint(path: str, state) -> None:
-    """Overwrite-save the train state at ``path`` (a directory)."""
+    """Overwrite-save the train state at ``path`` (a directory).
+
+    Collective on multi-host when the state is not fully addressable: all
+    processes participate in the gather, process 0 writes."""
     path = os.path.abspath(path)
+    tree = _to_save_tree(state)
+    if not _fully_addressable(tree):
+        tree = _gather_to_host(tree)  # collective — all processes reach this
+        if jax.process_index() != 0:
+            return
+    elif jax.process_count() > 1 and jax.process_index() != 0:
+        return
+    else:
+        tree = jax.device_get(tree)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _to_save_tree(jax.device_get(state)), force=True)
+        ckptr.save(path, tree, force=True)
 
 
 class AsyncCheckpointWriter:
@@ -41,26 +73,62 @@ class AsyncCheckpointWriter:
     environment (minutes through the tunneled device); overlapping it with
     the next epoch keeps the chips busy. Only one save is in flight — a new
     request waits for the previous one, preserving best-checkpoint ordering.
+
+    A failed background write re-raises at the next :meth:`save` or
+    :meth:`wait` — a swallowed exception would let training finish
+    "successfully" with a missing or stale checkpoint.
+
+    Multi-host: the collective host-gather runs synchronously on the caller
+    thread (collectives must not race the main thread's step stream); only
+    the orbax write itself moves to the background thread.
     """
 
     def __init__(self):
         self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def _run(self, fn, *args) -> None:
+        try:
+            fn(*args)
+        except BaseException as e:
+            self._error = e
 
     def save(self, path: str, state) -> None:
         self.wait()
-        # snapshot on device first: the train loop donates state buffers to
-        # the next step, which would race with the thread's device_get
-        import jax.numpy as jnp
+        tree = _to_save_tree(state)
+        if not _fully_addressable(tree) or jax.process_count() > 1:
+            # collective gather on the caller thread; non-primary hosts are
+            # done after participating
+            if not _fully_addressable(tree):
+                tree = _gather_to_host(tree)
+            if jax.process_index() != 0:
+                return
+            target, args = self._write_host_tree, (path, tree)
+        else:
+            # snapshot on device first: the train loop donates state buffers
+            # to the next step, which would race with the thread's device_get
+            import jax.numpy as jnp
 
-        snapshot = jax.tree.map(jnp.copy, state)
+            snapshot = jax.tree.map(jnp.copy, state)
+            target, args = save_checkpoint, (path, snapshot)
         self._thread = threading.Thread(
-            target=save_checkpoint, args=(path, snapshot), daemon=True)
+            target=self._run, args=(target,) + args, daemon=True)
         self._thread.start()
 
+    @staticmethod
+    def _write_host_tree(path: str, tree) -> None:
+        path = os.path.abspath(path)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, jax.device_get(tree), force=True)
+
     def wait(self) -> None:
+        """Join any in-flight write; re-raises its failure."""
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._error is not None:
+            error, self._error = self._error, None
+            raise RuntimeError("background checkpoint write failed") from error
 
 
 def restore_train_state(path: str, template_state):
