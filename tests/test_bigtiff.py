@@ -200,3 +200,77 @@ def test_short_tile_index_rejected_at_open(tmp_path):
     open(fp, "wb").write(bytes(raw))
     with pytest.raises(IOError, match="tile index shorter"):
         bigtiff.BigTiffReader(fp)
+
+
+def test_reader_rejects_predictor_and_planar(tmp_path):
+    """A conforming foreign file with PREDICTOR=2 (or planar multichannel)
+    must raise IOError — decoding it as plain interleaved deflate would
+    yield silently-wrong pixels; the IOError engages callers' imread
+    fallbacks whose backends handle those dialects (review r3)."""
+    import struct
+
+    from tpuseg.utils.bigtiff import BigTiffReader, write_bigtiff
+
+    # predictor: rewrite the PHOTOMETRIC (262) IFD entry as PREDICTOR=2
+    p = str(tmp_path / "pred.tif")
+    write_bigtiff(p, np.arange(64 * 64, dtype=np.uint16).reshape(64, 64),
+                  tile=(32, 32))
+    raw = open(p, "rb").read()
+    photometric = struct.pack("<HHQQ", 262, 3, 1, 1)
+    assert raw.count(photometric) == 1
+    patched = raw.replace(photometric, struct.pack("<HHQQ", 317, 3, 1, 2))
+    open(p, "wb").write(patched)
+    with pytest.raises(IOError, match="predictor"):
+        BigTiffReader(p)
+
+    # planar: rewrite PLANAR_CONFIG (284) value 1 -> 2 on a 3-channel file
+    q = str(tmp_path / "planar.tif")
+    write_bigtiff(q, np.zeros((64, 64, 3), np.uint8), tile=(32, 32))
+    raw = open(q, "rb").read()
+    chunky = struct.pack("<HHQQ", 284, 3, 1, 1)
+    assert raw.count(chunky) == 1
+    open(q, "wb").write(raw.replace(chunky, struct.pack("<HHQQ", 284, 3, 1, 2)))
+    with pytest.raises(IOError, match="planar"):
+        BigTiffReader(q)
+
+
+def test_writer_multichannel_tag_counts(tmp_path):
+    """BitsPerSample/SampleFormat must carry count == SamplesPerPixel (TIFF
+    spec; strict libtiff readers flag count-1 multichannel files) — both the
+    inline (spp<=4) and external-array (spp>4) encodings round-trip
+    (review r3)."""
+    import struct
+
+    from tpuseg.utils.bigtiff import BigTiffReader, read_bigtiff, write_bigtiff
+
+    rng = np.random.default_rng(0)
+    for spp in (3, 6):
+        p = str(tmp_path / f"c{spp}.tif")
+        img = rng.integers(0, 255, size=(64, 64, spp)).astype(np.uint8)
+        write_bigtiff(p, img, tile=(32, 32))
+        np.testing.assert_array_equal(read_bigtiff(p), img)
+        with open(p, "rb") as f:
+            f.seek(8)
+            (ifd_off,) = struct.unpack("<Q", f.read(8))
+            f.seek(ifd_off)
+            (n,) = struct.unpack("<Q", f.read(8))
+            counts = {}
+            for _ in range(n):
+                tag, typ, count, value = struct.unpack("<HHQQ", f.read(20))
+                counts[tag] = count
+        assert counts[258] == spp  # BitsPerSample
+        assert counts[339] == spp  # SampleFormat
+
+
+def test_reader_cache_resize(tmp_path):
+    from tpuseg.utils.bigtiff import BigTiffReader, write_bigtiff
+
+    p = str(tmp_path / "c.tif")
+    write_bigtiff(p, np.zeros((128, 128), np.uint8), tile=(32, 32))
+    with BigTiffReader(p, tile_cache=16) as r:
+        for i in range(8):
+            r._tile(i)
+        assert len(r._cache) == 8
+        r.set_cache_size(2)
+        assert len(r._cache) == 2
+        assert r._cache_max == 2

@@ -167,8 +167,12 @@ def test_tiling_grid_and_keys():
     msk = np.zeros((h, w), dtype=np.uint8)
     msk[:100, :] = 1
     tiles, mtiles, keys = process_slide_tiling(img, msk, 128, "blk")
-    # stride = 128 - 96 = 32; starts at 0,32,...,288 => 10 per axis, slid to fit
-    assert len(tiles) == 100
+    # stride = 128 - 96 = 32; starts at 0,32,...,288 => 10 per axis, slid to
+    # fit — starts >= 192 all collapse onto 172, and duplicates are emitted
+    # once (the reference emits them repeatedly but its LMDB put overwrites
+    # same-key records, netting the same 7x7 unique grid; review r3)
+    assert len(tiles) == 49
+    assert len(set(keys)) == 49
     assert all(t.shape == (128, 128) for t in tiles)
     # keys carry y,x start and present classes
     assert keys[0] == "blk_i0_j0:0,1"  # rows 0-127 span the 1-region (<100) and 0-region
@@ -241,3 +245,93 @@ def test_streamed_build_midstream_failure_does_not_duplicate(tmp_path, monkeypat
         build_db.generate_database(["s.tif"], "train-mid.lmdb", str(imgdir),
                                    str(mskdir), str(tmp_path), tile_size=256)
     assert real is not partial_then_fail  # silence unused warning
+
+
+def test_tiling_boxes_deduplicated():
+    """Slide-to-fit collapse must not emit duplicate boxes: the reference's
+    LMDB put overwrites same-key records, but the append-only RecordWriter
+    would keep every copy and skew sampling (review r3)."""
+    from tpuseg.data.build_db import tiling_boxes
+
+    for h, w, tile in [(512, 512, 512), (900, 900, 512), (416, 416, 512),
+                       (2048, 1024, 512)]:
+        boxes = tiling_boxes(h, w, tile)
+        assert len(boxes) == len(set(boxes)), (h, w, tile)
+    # a tile-sized image yields exactly one box
+    assert tiling_boxes(512, 512, 512) == [(0, 0, 512, 512)]
+
+
+def test_stream_tiling_small_slide_falls_back_to_in_ram(tmp_path):
+    """A tiled-BigTIFF pair smaller than tile_size must raise IOError before
+    any put (the slide-to-fit grid needs negative starts that read_region
+    rejects), so generate_database routes it to the in-RAM path (review r3)."""
+    from tpuseg.data.build_db import _stream_slide_tiling
+    from tpuseg.data.recordstore import RecordReader, RecordWriter
+    from tpuseg.utils import bigtiff
+
+    img = np.zeros((256, 256), np.uint16)
+    msk = np.zeros((256, 256), np.uint8)
+    ip, mp = str(tmp_path / "i.tif"), str(tmp_path / "m.tif")
+    bigtiff.write_bigtiff(ip, img, tile=(128, 128))
+    bigtiff.write_bigtiff(mp, msk, tile=(128, 128))
+    w = RecordWriter(str(tmp_path / "db"))
+    with pytest.raises(IOError, match="smaller than tile_size"):
+        _stream_slide_tiling(w, ip, mp, 512, "s")
+    w.close()
+    assert RecordReader(str(tmp_path / "db")).keys() == []
+
+
+def test_in_ram_multichannel_mask_rejected(tmp_path):
+    """An RGB label image must fail at build time, not as a reshape error
+    deep inside the training pipeline (review r3)."""
+    from tpuseg.data.build_db import generate_database
+    from tpuseg.utils.imagio import imwrite
+
+    imgdir, mskdir = tmp_path / "img", tmp_path / "msk"
+    imgdir.mkdir(); mskdir.mkdir()
+    imwrite(str(imgdir / "a.tif"), np.zeros((32, 32), np.uint16))
+    imwrite(str(mskdir / "a.tif"), np.zeros((32, 32, 3), np.uint8))
+    with pytest.raises(ValueError, match="grayscale"):
+        generate_database(["a.tif"], "db", str(imgdir), str(mskdir),
+                          str(tmp_path / "out"), 0)
+
+
+def test_generate_database_aborts_on_failure(tmp_path, monkeypatch):
+    """A mid-build failure must not commit a valid-looking truncated
+    database (review r3): the directory is removed and the error
+    propagates."""
+    from tpuseg.data import build_db as B
+    from tpuseg.utils.imagio import imwrite
+
+    imgdir, mskdir = tmp_path / "img", tmp_path / "msk"
+    imgdir.mkdir(); mskdir.mkdir()
+    for i in range(3):
+        imwrite(str(imgdir / f"{i}.tif"), np.zeros((32, 32), np.uint16))
+        imwrite(str(mskdir / f"{i}.tif"), np.zeros((32, 32), np.uint8))
+
+    real = B.serialize_image_mask_pair
+    calls = []
+
+    def flaky(img, msk):
+        calls.append(1)
+        if len(calls) == 3:
+            raise OSError("disk died")
+        return real(img, msk)
+
+    monkeypatch.setattr(B, "serialize_image_mask_pair", flaky)
+    out = tmp_path / "out"
+    with pytest.raises(OSError, match="disk died"):
+        B.generate_database(["0.tif", "1.tif", "2.tif"], "db",
+                            str(imgdir), str(mskdir), str(out), 0)
+    assert not (out / "db").exists()
+
+
+def test_tf_import_index_sort_numeric():
+    from tpuseg.utils.tf_import import _ckpt_sort_key
+
+    files = [f"/x/ckpt-{i}.index" for i in (1, 2, 9, 10, 12)]
+    import random as _r
+
+    shuffled = files[:]
+    _r.Random(0).shuffle(shuffled)
+    assert sorted(shuffled, key=_ckpt_sort_key) == files

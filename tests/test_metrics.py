@@ -164,3 +164,34 @@ def test_bincount_cm_allows_trailing_singleton_channel():
     a = rng.integers(0, 2, (16, 24)).astype(np.int32)
     cm = _bincount_cm(a, a[..., None], 2)
     np.testing.assert_array_equal(cm, _bincount_cm(a, a, 2))
+
+
+def test_confusion_matrix_exact_above_fp24():
+    """fp32 accumulation stops incrementing at 2^24; the chunked int32
+    accumulation must count a >16.7M-pixel class exactly (review r3)."""
+    import jax.numpy as jnp
+
+    from tpuseg.ops.metrics import confusion_matrix
+
+    n = (1 << 24) + 77
+    pred = jnp.zeros((n,), jnp.int32)
+    true = jnp.zeros((n,), jnp.int32)
+    cm = np.asarray(confusion_matrix(pred, true, 2))
+    assert cm.dtype.kind == "i"
+    assert cm[0, 0] == n
+    assert cm.sum() == n
+
+
+def test_confusion_matrix_chunk_padding_neutral():
+    """Chunk padding must contribute zero counts for sizes straddling the
+    chunk boundary (review r3)."""
+    import jax.numpy as jnp
+
+    from tpuseg.ops import metrics as M
+
+    rng = np.random.default_rng(0)
+    for n in (1, M._CM_CHUNK - 1, M._CM_CHUNK, M._CM_CHUNK + 1):
+        p = rng.integers(0, 3, n)
+        t = rng.integers(0, 3, n)
+        cm = np.asarray(M.confusion_matrix(jnp.asarray(p), jnp.asarray(t), 3))
+        np.testing.assert_array_equal(cm, M._bincount_cm(p, t, 3))

@@ -86,6 +86,7 @@ def tiling_boxes(height: int, width: int, tile_size: int) -> List[Tuple[int, int
     (build_lmdb.py:82-126)."""
     delta = int(tile_size - RADIUS)
     boxes = []
+    seen = set()
     for x_st in range(0, width, delta):
         for y_st in range(0, height, delta):
             x_end, y_end = x_st + tile_size, y_st + tile_size
@@ -95,7 +96,16 @@ def tiling_boxes(height: int, width: int, tile_size: int) -> List[Tuple[int, int
             if y_end > height:
                 y_st += height - y_end
                 y_end = height
-            boxes.append((y_st, x_st, y_end, x_end))
+            box = (y_st, x_st, y_end, x_end)
+            # slide-to-fit can collapse several grid cells onto one box
+            # (e.g. a 512^2 image at tile 512 collapses all 4); the
+            # reference emits the duplicates too, but its LMDB txn.put
+            # overwrites same-key records — the append-only RecordWriter
+            # would keep every copy and skew sampling toward edge tiles
+            # (review r3), so dedupe to the reference's net result
+            if box not in seen:
+                seen.add(box)
+                boxes.append(box)
     return boxes
 
 
@@ -125,6 +135,14 @@ def _stream_slide_tiling(writer: RecordWriter, img_path: str, msk_path: str,
     from tpuseg.utils.bigtiff import BigTiffReader
 
     with BigTiffReader(img_path) as ir, BigTiffReader(msk_path) as mr:
+        if ir.height < tile_size or ir.width < tile_size:
+            # slide-to-fit would need negative region starts, which
+            # read_region rejects; IOError (before any put) routes the pair
+            # to the in-RAM path, whose negative-index slicing handles
+            # sub-tile images with reference parity (review r3)
+            raise IOError(
+                f"slide {ir.height}x{ir.width} smaller than tile_size "
+                f"{tile_size}; in-RAM path handles it: {img_path}")
         if (ir.height, ir.width) != (mr.height, mr.width):
             raise AssertionError(
                 "Image and Mask must be the same Height, input images should be "
@@ -210,6 +228,14 @@ def generate_database(
             # build_lmdb.py:51-52; README.md:19-20 allows uint8/uint16/int32
             # masks whose class ids may exceed 255)
             msk = imread(os.path.join(mask_filepath, img_file_name))
+            if msk.ndim == 3 and msk.shape[2] == 1:
+                msk = msk[..., 0]
+            if msk.ndim != 2:
+                # fail fast like the streaming path (mr.channels != 1): a
+                # multichannel mask would serialize 3*H*W bytes and only
+                # blow up on reshape deep inside the training pipeline
+                raise ValueError(
+                    f"mask must be grayscale, got shape {msk.shape}: {msk_path}")
             _check_mask_dtype(msk.dtype, msk_path)
             assert img.shape[0] == msk.shape[0], (
                 "Image and Mask must be the same Height, input images should be "
@@ -227,7 +253,16 @@ def generate_database(
                 msk = enforce_size_multiple(msk)
                 key = f"{block_key}:{_present_classes_str(msk)}"
                 writer.put(key, serialize_image_mask_pair(img, msk))
-    finally:
+    except BaseException:
+        # abort, don't commit: close() would finalize a valid-looking
+        # database holding only the records built so far — a silently
+        # truncated dataset that would train without error
+        try:
+            writer.abort()
+        finally:
+            shutil.rmtree(db_dir, ignore_errors=True)
+        raise
+    else:
         writer.close()
     return db_dir
 

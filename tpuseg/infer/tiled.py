@@ -140,6 +140,26 @@ def _mesh_size(mesh) -> int:
     return 1 if mesh is None else int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
 
+def _zor_placements(height: int, width: int, zor: int, tile_size: int,
+                    radius: int, clamp_h: int, clamp_w: int,
+                    ) -> List[Tuple[int, int, int, int, int, int]]:
+    """The halo/zone grid shared by the in-RAM and streaming tiled paths:
+    ``(zone_y, zone_x, zone_y_end, zone_x_end, window_y, window_x)`` per
+    tile, zones clamped to (height, width), windows slid-to-fit inside
+    (clamp_h, clamp_w) — the padded extent in the in-RAM path, the slide
+    extent in streaming. One definition keeps the two paths' geometry
+    provably identical (they are equality-tested on shared inputs)."""
+    placements = []
+    for i in range(0, height, zor):
+        for j in range(0, width, zor):
+            y_end_z = min(i + zor, height)
+            x_end_z = min(j + zor, width)
+            y_st = min(max(i - radius, 0), clamp_h - tile_size)
+            x_st = min(max(j - radius, 0), clamp_w - tile_size)
+            placements.append((i, j, y_end_z, x_end_z, y_st, x_st))
+    return placements
+
+
 _PROGRAMS_PER_MODEL = 64  # compiled-geometry LRU bound per predict_fn
 
 
@@ -276,14 +296,8 @@ def _build_tiled_program(predict_fn, tile_size: int, radius: int, batch_size: in
 
     # window + zone geometry: all compile-time Python ints, so the entire
     # tile/forward/stitch pipeline below is static slices — nothing dynamic
-    placements: List[Tuple[int, int, int, int, int, int]] = []
-    for i in range(0, height, zor):
-        for j in range(0, width, zor):
-            y_end_z = min(i + zor, height)
-            x_end_z = min(j + zor, width)
-            y_st = min(max(i - radius, 0), full_h - tile_size)
-            x_st = min(max(j - radius, 0), full_w - tile_size)
-            placements.append((i, j, y_end_z, x_end_z, y_st, x_st))
+    placements = _zor_placements(height, width, zor, tile_size, radius,
+                                 full_h, full_w)
     n_tiles = len(placements)
     n_dev = _mesh_size(mesh)
     chunk = batch_size * n_dev
@@ -485,14 +499,8 @@ def inference_tiled_streaming(
     else:
         out_dtype = np.int32
 
-    placements: List[Tuple[int, int, int, int, int, int]] = []
-    for i in range(0, height, zor):
-        for j in range(0, width, zor):
-            y_end_z = min(i + zor, height)
-            x_end_z = min(j + zor, width)
-            y_st = min(max(i - radius, 0), height - tile_size)
-            x_st = min(max(j - radius, 0), width - tile_size)
-            placements.append((i, j, y_end_z, x_end_z, y_st, x_st))
+    placements = _zor_placements(height, width, zor, tile_size, radius,
+                                 height, width)
 
     run = _single_batch_program(predict_fn, group_size, mesh)
     dmean, dstd = jnp.asarray(np.ascontiguousarray(mean)), jnp.asarray(np.ascontiguousarray(std))

@@ -14,13 +14,43 @@ import jax
 import jax.numpy as jnp
 
 
+# per-chunk pixel count: each cell's fp32 partial stays < 2^24, so every
+# increment is exact before the int32 accumulation across chunks
+_CM_CHUNK = 1 << 22
+
+
 def confusion_matrix(pred: jax.Array, true: jax.Array, num_classes: int) -> jax.Array:
-    """[num_classes, num_classes] counts; rows = truth, cols = prediction.
+    """[num_classes, num_classes] int32 counts; rows = truth, cols = pred.
     Implemented as a one-hot matmul (MXU) rather than scatter (gather/scatter
-    is the slow path on TPU)."""
-    pred_oh = jax.nn.one_hot(pred.reshape(-1), num_classes, dtype=jnp.float32)
-    true_oh = jax.nn.one_hot(true.reshape(-1), num_classes, dtype=jnp.float32)
-    return jnp.einsum("nt,np->tp", true_oh, pred_oh, preferred_element_type=jnp.float32)
+    is the slow path on TPU). The matmul runs in fp32 per <=2^22-pixel chunk
+    (counts stay exactly representable) and accumulates across chunks in
+    int32 — a single fp32 accumulation would silently stop counting at 2^24
+    pixels of one class (review r3). Inputs beyond ~2e9 total pixels belong
+    on the host streaming path (evaluate_folder)."""
+    pred = pred.reshape(-1).astype(jnp.int32)
+    true = true.reshape(-1).astype(jnp.int32)
+    n = pred.shape[0]
+    cm0 = jnp.zeros((num_classes, num_classes), jnp.int32)
+    if n == 0:
+        return cm0
+    chunk = min(n, _CM_CHUNK)
+    k = -(-n // chunk)
+    # padded pixels get out-of-range labels -> all-zero one-hot rows, so
+    # they drop out of the counts with no correction term
+    pad = k * chunk - n
+    pred = jnp.pad(pred, (0, pad), constant_values=num_classes)
+    true = jnp.pad(true, (0, pad), constant_values=num_classes)
+
+    def body(cm, pt):
+        p, t = pt
+        pred_oh = jax.nn.one_hot(p, num_classes, dtype=jnp.float32)
+        true_oh = jax.nn.one_hot(t, num_classes, dtype=jnp.float32)
+        part = jnp.einsum("nt,np->tp", true_oh, pred_oh,
+                          preferred_element_type=jnp.float32)
+        return cm + part.astype(jnp.int32), None
+
+    cm, _ = jax.lax.scan(body, cm0, (pred.reshape(k, chunk), true.reshape(k, chunk)))
+    return cm
 
 
 def iou_from_confusion(cm: jax.Array) -> jax.Array:
@@ -98,6 +128,11 @@ def _stream_confusion(pred_fp: str, truth_fp: str, num_classes: int):
     cm = np.zeros((num_classes, num_classes), np.float64)
     with BigTiffReader(pred_fp, tile_cache=1) as pr, \
             BigTiffReader(truth_fp, tile_cache=1) as tr:
+        # the sweep walks pred's grid; when the truth grid differs, each
+        # pred region spans several truth tiles, so a 1-slot LRU would
+        # re-inflate them ~4x — one truth-tile row bounds memory and
+        # removes the redundant decodes (review r3)
+        tr.set_cache_size(tr.tiles_across + 2)
         if (pr.height, pr.width) != (tr.height, tr.width):
             # ValueError, NOT IOError: evaluate_folder's dialect fallback
             # catches IOError and would retry via imread, silently scoring

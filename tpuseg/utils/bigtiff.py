@@ -37,6 +37,7 @@ _COMPRESSION = 259  # 1 = none, 8 = adobe deflate
 _PHOTOMETRIC = 262  # 1 = BlackIsZero
 _SAMPLES_PER_PIXEL = 277
 _PLANAR_CONFIG = 284  # 1 = chunky (interleaved)
+_PREDICTOR = 317  # 1 = none (2 = horizontal differencing, unsupported)
 _TILE_WIDTH = 322
 _TILE_LENGTH = 323
 _TILE_OFFSETS = 324
@@ -146,9 +147,24 @@ class BigTiffReader:
                                        _TILE_OFFSETS, _TILE_BYTE_COUNTS)):
             raise IOError(f"BigTIFF is not tiled (strip layout unsupported): {fp}")
         self.width, self.height = scalar(_IMAGE_WIDTH), scalar(_IMAGE_LENGTH)
+        if _BITS_PER_SAMPLE in tags:
+            bits_arr = _tag_array(f, tags[_BITS_PER_SAMPLE])
+            if len(set(int(b) for b in bits_arr)) > 1:
+                raise IOError(
+                    f"per-channel BitsPerSample {list(bits_arr)} unsupported: {fp}")
         bits = scalar(_BITS_PER_SAMPLE, 8)
         self._comp = scalar(_COMPRESSION, 1)
         self.channels = scalar(_SAMPLES_PER_PIXEL, 1)
+        # decoding a predictor-2/3 file as plain deflate, or a planar file
+        # as interleaved, would yield silently-wrong pixel values — raise
+        # the IOError that engages callers' imread fallbacks, whose backends
+        # handle those dialects correctly (review r3)
+        predictor = scalar(_PREDICTOR, 1)
+        if predictor != 1:
+            raise IOError(f"unsupported TIFF predictor {predictor}: {fp}")
+        if self.channels > 1 and scalar(_PLANAR_CONFIG, 1) != 1:
+            raise IOError(
+                f"planar (non-interleaved) multichannel TIFF unsupported: {fp}")
         self.tile_width, self.tile_height = scalar(_TILE_WIDTH), scalar(_TILE_LENGTH)
         fmt = scalar(_SAMPLE_FORMAT, 1)
         self.dtype = _FORMAT_DTYPES.get((fmt, bits))
@@ -175,6 +191,14 @@ class BigTiffReader:
         if self.channels == 1:
             return (self.height, self.width)
         return (self.height, self.width, self.channels)
+
+    def set_cache_size(self, n_tiles: int) -> None:
+        """Resize the decoded-tile LRU (callers whose access pattern spans
+        more tiles than the default — e.g. sweeping a differently-tiled
+        pair — avoid re-decoding by sizing it to one tile row)."""
+        self._cache_max = max(1, int(n_tiles))
+        while len(self._cache) > self._cache_max:
+            self._cache.pop(next(iter(self._cache)))
 
     def close(self) -> None:
         self._f.close()
@@ -320,10 +344,30 @@ class BigTiffTileWriter:
             off_value = write_array(self._offsets)
             cnt_value = write_array(self._counts)
 
+        def short_array(vals):
+            """(count, value) for a SHORT-array tag: inline if it fits the
+            8-byte value field (spp <= 4 always does), external otherwise."""
+            if len(vals) * 2 <= 8:
+                packed = 0
+                for i, v in enumerate(vals):
+                    packed |= int(v) << (16 * i)
+                return len(vals), packed
+            if f.tell() % 2:
+                f.write(b"\x00")
+            pos = f.tell()
+            f.write(struct.pack(f"<{len(vals)}H", *vals))
+            return len(vals), pos
+
+        # the TIFF spec requires count == SamplesPerPixel for these two —
+        # count-1 multichannel files are flagged by strict libtiff readers
+        bps_count, bps_value = short_array([self._dtype.itemsize * 8] * self._spp)
+        fmt_count, fmt_value = short_array(
+            [_SAMPLE_FORMATS[self._dtype.kind]] * self._spp)
+
         entries = [
             (_IMAGE_WIDTH, _TYPE_LONG8, 1, self._w),
             (_IMAGE_LENGTH, _TYPE_LONG8, 1, self._h),
-            (_BITS_PER_SAMPLE, _TYPE_SHORT, 1, self._dtype.itemsize * 8),
+            (_BITS_PER_SAMPLE, _TYPE_SHORT, bps_count, bps_value),
             (_COMPRESSION, _TYPE_SHORT, 1, 8 if self._compress else 1),
             (_PHOTOMETRIC, _TYPE_SHORT, 1, 1),
             (_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, self._spp),
@@ -332,7 +376,7 @@ class BigTiffTileWriter:
             (_TILE_LENGTH, _TYPE_SHORT, 1, self._th),
             (_TILE_OFFSETS, _TYPE_LONG8, len(self._offsets), off_value),
             (_TILE_BYTE_COUNTS, _TYPE_LONG8, len(self._counts), cnt_value),
-            (_SAMPLE_FORMAT, _TYPE_SHORT, 1, _SAMPLE_FORMATS[self._dtype.kind]),
+            (_SAMPLE_FORMAT, _TYPE_SHORT, fmt_count, fmt_value),
         ]
         if f.tell() % 2:
             f.write(b"\x00")

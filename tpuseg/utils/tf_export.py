@@ -79,7 +79,13 @@ def load_tpuseg_into_keras(kmodel, params: Dict, batch_stats: Dict) -> None:
     weighted layers positionally in the reference's build order."""
     import tensorflow as tf
 
-    convs = [l for l in kmodel.layers if isinstance(l, tf.keras.layers.Conv2D)]
+    # exclude transposes explicitly: under Keras 2 (the reference's era)
+    # Conv2DTranspose subclasses Conv2D, so a bare isinstance(l, Conv2D)
+    # would also collect the 4 deconv layers and shift every positional
+    # assignment after dec4a (review r3); Keras 3 has no such subclassing
+    convs = [l for l in kmodel.layers
+             if isinstance(l, tf.keras.layers.Conv2D)
+             and not isinstance(l, tf.keras.layers.Conv2DTranspose)]
     deconvs = [l for l in kmodel.layers
                if isinstance(l, tf.keras.layers.Conv2DTranspose)]
     bns = [l for l in kmodel.layers

@@ -57,6 +57,14 @@ def block_sequence() -> List[Tuple[str, str]]:
     return seq
 
 
+def _ckpt_sort_key(fp: str):
+    """Numeric-suffix order for ``*.index`` files: lexicographic sort puts
+    'ckpt-9' after 'ckpt-12' and would silently import the older checkpoint
+    (review r3)."""
+    m = re.search(r"(\d+)\.index$", fp)
+    return (int(m.group(1)) if m else -1, fp)
+
+
 def load_reference_checkpoint(ckpt_path: str) -> Tuple[Dict, Dict]:
     """Read a reference TF checkpoint into (params, batch_stats) pytrees
     matching tpuseg's UNet variable structure."""
@@ -71,7 +79,8 @@ def load_reference_checkpoint(ckpt_path: str) -> Tuple[Dict, Dict]:
             import glob
             import os
 
-            indexes = sorted(glob.glob(os.path.join(ckpt_path, "*.index")))
+            indexes = sorted(glob.glob(os.path.join(ckpt_path, "*.index")),
+                             key=_ckpt_sort_key)
             if not indexes:
                 raise IOError(f"no TF checkpoint found under {ckpt_path}")
             latest = indexes[-1][:-len(".index")]
