@@ -19,6 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Suite time is dominated by XLA compiles of the same programs on every run;
+# the persistent cache (keyed by platform+topology, so CPU-mesh entries never
+# collide with real-chip ones) makes them a once-per-machine cost.
+# TPUSEG_COMPILE_CACHE=0 opts out.
+from tpuseg.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
 import pytest  # noqa: E402
 
 

@@ -129,3 +129,24 @@ def test_evaluate_cli_wiring(monkeypatch):
                         lambda p, t, n: captured.setdefault("args", (p, t, n)) or {})
     cli.main(["--pred_folder", "p", "--truth_folder", "t", "--number_classes", "4"])
     assert captured["args"] == ("p", "t", 4)
+
+def test_platform_env_honored_via_config_api():
+    # JAX_PLATFORMS must work for every CLI even where a site hook pins the
+    # platform after the env is read (this deployment's tunneled backend):
+    # enable() routes the env var through the config API, which wins. Run in
+    # a subprocess so the site hook is active and jax is uninitialized.
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from tpuseg.utils.compile_cache import enable; enable(); "
+         "import jax; print(jax.devices()[0].platform)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().endswith("cpu"), out.stdout

@@ -30,9 +30,14 @@ def test_dryrun_bootstraps_fresh_process():
 
 def test_dryrun_reexecs_when_jax_preinitialized():
     # jax initialized first with (at most) the default device set; the
-    # bootstrap must fall back to the subprocess re-exec path.
+    # bootstrap must fall back to the subprocess re-exec path. Preinit on
+    # CPU (config API — the env var alone is ignored on this backend): the
+    # re-exec path only cares that device_count() < n, and initializing the
+    # default platform here would hang the suite whenever the tunneled TPU
+    # backend is down (tests must stay green CPU-only).
     code = (
-        "import jax; jax.devices(); "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "jax.devices(); "
         "import __graft_entry__ as g; g.dryrun_multichip(8)")
     env = _clean_env()
     out = subprocess.run(

@@ -53,6 +53,9 @@ def convert(input_db: str, output_db: str, fmt: str) -> int:
 
 
 def main(argv=None):
+    from tpuseg.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     parser = argparse.ArgumentParser(
         prog="convert_db",
         description="Convert a dataset between the reference's LMDB format "

@@ -10,6 +10,9 @@ import argparse
 
 
 def main(argv=None):
+    from tpuseg.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     parser = argparse.ArgumentParser(
         prog="export_tf_checkpoint",
         description="Convert a tpuseg orbax checkpoint into a reference "

@@ -11,6 +11,9 @@ import argparse
 
 
 def main(argv=None):
+    from tpuseg.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     parser = argparse.ArgumentParser(
         prog="import_tf_checkpoint",
         description="Convert a reference tf.train.Checkpoint (UNet/model.py:81-83) "
