@@ -159,3 +159,32 @@ def test_quantized_predict_slots_into_tiled_engine():
     q_mask = inference_tiled(img, q_fn, tile_size=96, radius=16, batch_size=2)
     assert q_mask.shape == fp_mask.shape == (200, 170)
     assert (q_mask == fp_mask).mean() > 0.9  # random model: near-tie flips only
+
+
+def test_fp_blocks_typo_fails_fast():
+    """A misspelled fp_blocks entry must raise, not silently quantize the
+    block it was meant to keep in fp (review r3)."""
+    _, variables = _model_and_vars()
+    folded = fold_variables(variables)
+    ranges = calibrate(folded, [np.random.default_rng(4).normal(0, 1, (48, 48))])
+    with pytest.raises(ValueError, match="enc1A"):
+        make_quantized_predict_fn(folded, ranges, fp_blocks=("enc1A", "head"))
+
+
+def test_calibrate_mixed_shapes_share_one_geometry():
+    """Mismatched calibration images are cropped/padded to the first image's
+    geometry (one trace/compile instead of one per shape — review r3); tiny
+    images that reflect cannot pad still work via the edge fallback."""
+    _, variables = _model_and_vars()
+    folded = fold_variables(variables)
+    rng = np.random.default_rng(5)
+    images = [rng.normal(0, 1, (48, 48)),     # canonical
+              rng.normal(0, 1, (80, 64)),     # larger: center-cropped
+              rng.normal(0, 1, (20, 20))]     # smaller than pad width: edge
+    ranges = calibrate(folded, images)
+    assert set(ranges) == set(ALL_BLOCKS) | {INPUT_TAP}
+    assert all(v > 0 for v in ranges.values())
+    # equal-shape calibration is unchanged by the canonicalization path
+    single = calibrate(folded, [images[0]])
+    both = calibrate(folded, [images[0], images[0]])
+    assert single == pytest.approx(both)

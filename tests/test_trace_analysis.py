@@ -71,3 +71,43 @@ def test_cli_runs(tmp_path, capsys):
     main([d])
     out = capsys.readouterr().out
     assert "host-only" in out or "total device time" in out
+
+
+def _plane(xs, name, op_ms):
+    """Add a /device: plane with an XLA Ops line; op_ms = {op_name: ms}."""
+    p = xs.planes.add()
+    p.name = name
+    p.stat_metadata[1].id = 1
+    p.stat_metadata[1].name = "tf_op"
+    line = p.lines.add()
+    line.name = "XLA Ops"
+    for i, (op, ms) in enumerate(op_ms.items(), start=1):
+        md = p.event_metadata[i]
+        md.id = i
+        md.name = op
+        ev = line.events.add()
+        ev.metadata_id = i
+        ev.duration_ps = int(ms * 1e9)
+
+
+def test_analyze_sums_all_device_planes(tmp_path):
+    """Multi-chip traces carry one plane per local device; totals must sum
+    across ALL of them, and the same fusion on every chip is one row
+    (review r3 — a single-plane walk reported 1/n of the device work)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    _plane(xs, "/device:TPU:0", {"%fusion.1": 10.0, "%all-reduce.2": 2.0})
+    _plane(xs, "/device:TPU:1", {"%fusion.1": 30.0, "%all-reduce.2": 6.0})
+    d = tmp_path / "prof"
+    d.mkdir()
+    (d / "host.xplane.pb").write_bytes(xs.SerializeToString())
+
+    r = analyze(str(d))
+    assert r["planes"] == 2
+    assert r["total_ms"] == pytest.approx(48.0)
+    # per-op rows merge across planes by op name
+    top = {name: ms for ms, _, name in r["top_ops"]}
+    assert top["%fusion.1"] == pytest.approx(40.0)
+    assert top["%all-reduce.2"] == pytest.approx(8.0)
+    assert r["categories"]["collective"] == pytest.approx(8.0)

@@ -49,7 +49,7 @@ exact for every layer (K*Cin*127^2 < 2^31 at any practical width).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, List, Sequence, Tuple
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -263,7 +263,11 @@ def calibrate(folded: Dict[str, Dict[str, np.ndarray]],
     max-aggregated (see the module docstring for the measured why).
     Images are HW/HWC float arrays already normalized the way inference
     normalizes them (data/preprocess.zscore semantics); shapes need not
-    match — each runs as its own batch of one.
+    match — mismatched images are center-cropped (larger) or reflect-padded
+    (smaller) to the first image's x16-padded geometry, so the taps program
+    traces and compiles exactly once (the full U-Net costs 25-60 s per
+    distinct shape on a TPU; per-image compiles would turn a handful of
+    calibration images into minutes of startup — review r3).
     """
     fold_dev = jax.tree_util.tree_map(jnp.asarray, dict(folded))
     if not 0.0 < percentile <= 100.0:
@@ -286,8 +290,23 @@ def calibrate(folded: Dict[str, Dict[str, np.ndarray]],
     from tpuseg.infer.tiled import _pad_to_multiple
 
     per_image: Dict[str, List[float]] = {}
+    canon: Optional[Tuple[int, int]] = None
     for img in images:
-        arr, _, _ = _pad_to_multiple(np.asarray(img, np.float32))
+        arr = np.asarray(img, np.float32)
+        if canon is not None and arr.shape[:2] != canon:
+            ch, cw = canon
+            y0 = max(0, (arr.shape[0] - ch) // 2)
+            x0 = max(0, (arr.shape[1] - cw) // 2)
+            arr = arr[y0:y0 + ch, x0:x0 + cw]
+            if arr.shape[0] < ch or arr.shape[1] < cw:
+                pad = [(0, ch - arr.shape[0]), (0, cw - arr.shape[1])]
+                pad += [(0, 0)] * (arr.ndim - 2)
+                # reflect caps pad width at dim-1; fall back for tiny images
+                mode = "reflect" if (pad[0][1] < arr.shape[0]
+                                     and pad[1][1] < arr.shape[1]) else "edge"
+                arr = np.pad(arr, pad, mode=mode)
+        arr, _, _ = _pad_to_multiple(arr)
+        canon = canon or arr.shape[:2]
         taps = jax.device_get(taps_fn(jnp.asarray(arr[None])))
         for k, v in taps.items():
             per_image.setdefault(k, []).append(float(v))
@@ -311,6 +330,13 @@ def make_quantized_logits_fn(folded: Dict[str, Dict[str, np.ndarray]],
     input but still emit int8 from their epilogue.  The head emits f32
     logits (its epilogue feeds argmax / softmax, never another conv).
     """
+    unknown = set(fp_blocks) - set(CONV_BLOCKS) - set(DECONV_BLOCKS)
+    if unknown:
+        # a typo here would otherwise silently QUANTIZE the block it was
+        # meant to keep in fp — observable only as an mIoU drop (review r3)
+        raise ValueError(
+            f"fp_blocks entries not in the U-Net block set: {sorted(unknown)}; "
+            f"valid names: {CONV_BLOCKS + DECONV_BLOCKS}")
     fold_dev = jax.tree_util.tree_map(jnp.asarray, dict(folded))
 
     def out_scale(name) -> np.float32:

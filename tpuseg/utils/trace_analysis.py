@@ -75,67 +75,71 @@ def analyze(profile_dir: str, top: int = 25) -> Dict:
     with open(fp, "rb") as f:
         xs.ParseFromString(f.read())
 
-    plane = None
-    for p in xs.planes:
-        if p.name.startswith("/device:") and any(
-                l.name == "XLA Ops" and l.events for l in p.lines):
-            plane = p
-            break
-    if plane is None:
-        return {"device_plane": None, "total_ms": 0.0, "steps": 0,
+    planes = [p for p in xs.planes
+              if p.name.startswith("/device:") and any(
+                  l.name == "XLA Ops" and l.events for l in p.lines)]
+    if not planes:
+        return {"device_plane": None, "planes": 0, "total_ms": 0.0, "steps": 0,
                 "tflops_per_sec": 0.0, "logical_gb_per_sec": 0.0,
                 "categories": {}, "top_ops": [],
                 "note": "no device XLA-op plane (host-only trace?)"}
 
-    sm = plane.stat_metadata
-    em = plane.event_metadata
-
-    def md_stats(md) -> Tuple[str, float, float]:
-        tf_op, flops, bbytes = "", 0.0, 0.0
-        for st in md.stats:
-            sname = sm[st.metadata_id].name
-            if sname == "tf_op":
-                tf_op = st.str_value
-            elif sname == "flops":
-                flops = float(st.int64_value or st.uint64_value)
-            elif sname == "bytes_accessed":
-                bbytes = float(st.int64_value or st.uint64_value)
-        return tf_op, flops, bbytes
-
+    # Aggregate over ALL device planes (multi-chip traces have one per local
+    # device; summing only the first would report ~1/n of the device work).
+    # Keyed by op name so the same fusion running on every chip is one row.
     steps = 0
-    agg: Counter = Counter()
+    agg: Counter = Counter()            # op name -> summed duration_ps
+    op_meta: Dict[str, str] = {}        # op name -> tf_op path
     flops_total = 0.0
     bytes_total = 0.0
-    meta_cache: Dict[int, Tuple[str, str, float, float]] = {}  # id -> (name, tf_op, flops, bytes)
-    for line in plane.lines:
-        if line.name == "Steps":
-            steps = len(line.events)
-        if line.name != "XLA Ops":
-            continue
-        for ev in line.events:
-            mid = ev.metadata_id
-            if mid not in meta_cache:
-                md = em[mid]
-                tf_op, flops, bbytes = md_stats(md)
-                meta_cache[mid] = (md.name, tf_op, flops, bbytes)
-            name, _tf_op, flops, bbytes = meta_cache[mid]
-            agg[mid] += ev.duration_ps
-            flops_total += flops
-            bytes_total += bbytes
+    for plane in planes:
+        sm = plane.stat_metadata
+        em = plane.event_metadata
+
+        def md_stats(md) -> Tuple[str, float, float]:
+            tf_op, flops, bbytes = "", 0.0, 0.0
+            for st in md.stats:
+                sname = sm[st.metadata_id].name
+                if sname == "tf_op":
+                    tf_op = st.str_value
+                elif sname == "flops":
+                    flops = float(st.int64_value or st.uint64_value)
+                elif sname == "bytes_accessed":
+                    bbytes = float(st.int64_value or st.uint64_value)
+            return tf_op, flops, bbytes
+
+        meta_cache: Dict[int, Tuple[str, str, float, float]] = {}
+        for line in plane.lines:
+            if line.name == "Steps":
+                steps = max(steps, len(line.events))
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                mid = ev.metadata_id
+                if mid not in meta_cache:
+                    md = em[mid]
+                    tf_op, flops, bbytes = md_stats(md)
+                    meta_cache[mid] = (md.name, tf_op, flops, bbytes)
+                name, tf_op, flops, bbytes = meta_cache[mid]
+                agg[name] += ev.duration_ps
+                op_meta.setdefault(name, tf_op)
+                flops_total += flops
+                bytes_total += bbytes
 
     total_ps = sum(agg.values())
     cats: Counter = Counter()
-    for mid, ps in agg.items():
-        name, tf_op, _, _ = meta_cache[mid]
-        cats[classify_op(name, tf_op)] += ps
-    top_ops = [(ps / 1e9, ps / total_ps if total_ps else 0.0, meta_cache[mid][0])
-               for mid, ps in agg.most_common(top)]
+    for name, ps in agg.items():
+        cats[classify_op(name, op_meta[name])] += ps
+    top_ops = [(ps / 1e9, ps / total_ps if total_ps else 0.0, name)
+               for name, ps in agg.most_common(top)]
     return {
-        "device_plane": plane.name,
+        "device_plane": planes[0].name,
+        "planes": len(planes),
         "total_ms": total_ps / 1e9,
         "steps": steps,
-        # flops are per-execution; duration sums over executions too, so the
-        # ratio is the true achieved rate over the traced window
+        # flops are per-execution; duration sums over executions (and over
+        # device planes) too, so the ratio is the achieved rate over the
+        # traced window — per device-second, i.e. the per-chip MFU number
         "tflops_per_sec": (flops_total / (total_ps / 1e12) / 1e12) if total_ps else 0.0,
         # XLA cost-analysis bytes are UNPADDED logical bytes; real HBM
         # traffic is higher wherever layouts pad (C=64 pads 2x in bf16)
@@ -164,17 +168,25 @@ def main(argv=None):
         return
     per_step = f" ({r['total_ms'] / r['steps']:.1f} ms/step over {r['steps']} steps)" \
         if r["steps"] else ""
-    print(f"device plane: {r['device_plane']}")
+    n_planes = r.get("planes", 1)
+    extra = f" (+{n_planes - 1} more device planes, summed)" if n_planes > 1 else ""
+    print(f"device plane: {r['device_plane']}{extra}")
     print(f"total device time: {r['total_ms']:.1f} ms{per_step}")
-    print(f"achieved compute: {r['tflops_per_sec']:.1f} TFLOP/s "
-          f"(XLA per-op flop counts; v5e bf16 peak 197)")
-    print(f"logical bandwidth: {r['logical_gb_per_sec']:.0f} GB/s "
-          f"(unpadded cost-analysis bytes; padded HBM traffic is higher, "
-          f"v5e peak ~819)")
+    # the hardcoded peaks are v5e roofline anchors — only meaningful when
+    # the trace actually came from a TPU plane
+    is_tpu = "TPU" in r["device_plane"].upper()
+    compute_peak = " (XLA per-op flop counts; v5e bf16 peak 197)" if is_tpu \
+        else " (XLA per-op flop counts)"
+    bw_peak = (" (unpadded cost-analysis bytes; padded HBM traffic is "
+               "higher, v5e peak ~819)") if is_tpu \
+        else " (unpadded cost-analysis bytes)"
+    print(f"achieved compute: {r['tflops_per_sec']:.1f} TFLOP/s{compute_peak}")
+    print(f"logical bandwidth: {r['logical_gb_per_sec']:.0f} GB/s{bw_peak}")
     print("\nby category ('remat' time is work spent twice — HBM-pressure "
           "recompute):")
+    total_ms = r["total_ms"] or 1e-12  # all-zero-duration events: show 0%
     for cat, ms in r["categories"].items():
-        print(f"  {cat:<14} {ms:9.2f} ms  {ms / r['total_ms'] * 100:5.1f}%")
+        print(f"  {cat:<14} {ms:9.2f} ms  {ms / total_ms * 100:5.1f}%")
     print(f"\ntop {len(r['top_ops'])} ops:")
     for ms, share, name in r["top_ops"]:
         print(f"  {ms:8.2f} ms  {share * 100:5.1f}%  {name[:110]}")
