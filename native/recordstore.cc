@@ -24,7 +24,9 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 #include <vector>
 
@@ -32,6 +34,12 @@
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
+
+// The on-disk integers are little-endian (the pure-Python twin uses "<"
+// struct formats); this implementation writes host byte order, so refuse
+// to build where the two would diverge.
+static_assert(__BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__,
+              "tsrstore's on-disk format is little-endian");
 
 namespace {
 
@@ -50,12 +58,24 @@ struct Writer {
   uint64_t pos = kHeaderSize;
 };
 
+// Index entries view key bytes straight out of the mmap (no heap copies of
+// the key space — goal #1, readers should share the page cache, extends to
+// the index). by_key is built lazily on the first get(): the hot training
+// path only ever calls get_at() by sorted position and never pays for it.
+struct ReaderEntry {
+  const char* key;
+  uint32_t key_len;
+  uint64_t offset;
+  uint64_t length;
+};
+
 struct Reader {
   int fd = -1;
   const uint8_t* base = nullptr;
   uint64_t size = 0;
-  std::vector<IndexEntry> index;                       // sorted by key
-  std::unordered_map<std::string, uint32_t> by_key;    // key -> index slot
+  std::vector<ReaderEntry> index;  // sorted by key (writer's sort order)
+  std::unordered_map<std::string_view, uint32_t> by_key;  // key -> slot
+  std::once_flag by_key_once;  // ctypes releases the GIL around calls
 };
 
 }  // namespace
@@ -97,10 +117,22 @@ int tsr_writer_close(void* handle) {
   if (!w) return -1;
   int rc = 0;
   if (w->f) {
-    std::sort(w->index.begin(), w->index.end(),
-              [](const IndexEntry& a, const IndexEntry& b) { return a.key < b.key; });
-    uint64_t index_offset = w->pos;
+    // stable sort + last-of-run: duplicate puts resolve to the latest value,
+    // the overwrite semantics of the reference's LMDB txn.put
+    // (build_lmdb.py:136) — and identical to the pure-Python writer
+    std::stable_sort(w->index.begin(), w->index.end(),
+                     [](const IndexEntry& a, const IndexEntry& b) { return a.key < b.key; });
+    std::vector<IndexEntry> dedup;
+    dedup.reserve(w->index.size());
     for (const IndexEntry& e : w->index) {
+      if (!dedup.empty() && dedup.back().key == e.key) {
+        dedup.back() = e;  // later put (file order within the run) wins
+      } else {
+        dedup.push_back(e);
+      }
+    }
+    uint64_t index_offset = w->pos;
+    for (const IndexEntry& e : dedup) {
       uint32_t kl = static_cast<uint32_t>(e.key.size());
       if (std::fwrite(&kl, sizeof(kl), 1, w->f) != 1 ||
           std::fwrite(&e.offset, sizeof(e.offset), 1, w->f) != 1 ||
@@ -111,7 +143,7 @@ int tsr_writer_close(void* handle) {
       }
     }
     if (rc == 0) {
-      uint64_t count = w->index.size();
+      uint64_t count = dedup.size();
       if (std::fseek(w->f, 8, SEEK_SET) != 0 ||
           std::fwrite(&count, sizeof(count), 1, w->f) != 1 ||
           std::fwrite(&index_offset, sizeof(index_offset), 1, w->f) != 1) {
@@ -120,6 +152,19 @@ int tsr_writer_close(void* handle) {
     }
     if (std::fclose(w->f) != 0) rc = -1;
   }
+  delete w;
+  return rc;
+}
+
+// Abandon the database WITHOUT finalizing: no index is written and the
+// header keeps its zeroed count/index_offset, so any later open of the
+// partial file fails the header sanity check instead of serving a
+// valid-looking truncated dataset. Callers delete the file.
+int tsr_writer_abort(void* handle) {
+  Writer* w = static_cast<Writer*>(handle);
+  if (!w) return -1;
+  int rc = 0;
+  if (w->f && std::fclose(w->f) != 0) rc = -1;
   delete w;
   return rc;
 }
@@ -164,7 +209,6 @@ void* tsr_reader_open(const char* path) {
   r->base = p;
   r->size = size;
   r->index.reserve(count);
-  r->by_key.reserve(count);
   uint64_t pos = index_offset;
   for (uint64_t i = 0; i < count; ++i) {
     // overflow-safe bounds checks (pos + n could wrap for corrupt values)
@@ -187,13 +231,27 @@ void* tsr_reader_open(const char* path) {
       delete r;
       return nullptr;
     }
-    std::string key(reinterpret_cast<const char*>(p + pos), kl);
+    // key bytes stay in the mmap; no per-key heap allocation
+    r->index.push_back({reinterpret_cast<const char*>(p + pos), kl, off, len});
     pos += kl;
-    r->by_key.emplace(key, static_cast<uint32_t>(r->index.size()));
-    r->index.push_back({std::move(key), off, len});
   }
   return r;
 }
+
+namespace {
+
+void build_by_key(Reader* r) {
+  r->by_key.reserve(r->index.size());
+  for (uint32_t i = 0; i < r->index.size(); ++i) {
+    const ReaderEntry& e = r->index[i];
+    // assignment, not emplace: on duplicate keys (foreign writers — ours
+    // dedup at close) the later sorted slot wins, matching the pure-Python
+    // reader's dict semantics and LMDB's overwrite behavior
+    r->by_key[std::string_view(e.key, e.key_len)] = i;
+  }
+}
+
+}  // namespace
 
 uint64_t tsr_reader_count(void* handle) {
   Reader* r = static_cast<Reader*>(handle);
@@ -203,8 +261,8 @@ uint64_t tsr_reader_count(void* handle) {
 int tsr_reader_key(void* handle, uint64_t i, const char** key, uint32_t* key_len) {
   Reader* r = static_cast<Reader*>(handle);
   if (!r || i >= r->index.size()) return -1;
-  *key = r->index[i].key.data();
-  *key_len = static_cast<uint32_t>(r->index[i].key.size());
+  *key = r->index[i].key;
+  *key_len = r->index[i].key_len;
   return 0;
 }
 
@@ -212,9 +270,10 @@ int tsr_reader_get(void* handle, const char* key, uint32_t key_len,
                    const char** val, uint64_t* val_len) {
   Reader* r = static_cast<Reader*>(handle);
   if (!r) return -1;
-  auto it = r->by_key.find(std::string(key, key_len));
+  std::call_once(r->by_key_once, build_by_key, r);
+  auto it = r->by_key.find(std::string_view(key, key_len));
   if (it == r->by_key.end()) return -1;
-  const IndexEntry& e = r->index[it->second];
+  const ReaderEntry& e = r->index[it->second];
   if (e.offset > r->size || r->size - e.offset < e.length) return -1;
   *val = reinterpret_cast<const char*>(r->base + e.offset);
   *val_len = e.length;
@@ -226,7 +285,7 @@ int tsr_reader_get(void* handle, const char* key, uint32_t key_len,
 int tsr_reader_get_at(void* handle, uint64_t i, const char** val, uint64_t* val_len) {
   Reader* r = static_cast<Reader*>(handle);
   if (!r || i >= r->index.size()) return -1;
-  const IndexEntry& e = r->index[i];
+  const ReaderEntry& e = r->index[i];
   if (e.offset > r->size || r->size - e.offset < e.length) return -1;
   *val = reinterpret_cast<const char*>(r->base + e.offset);
   *val_len = e.length;

@@ -45,7 +45,16 @@ def load_native() -> Optional[ctypes.CDLL]:
             return _native_lib
         so_path = os.path.join(_native_dir(), "libtsrstore.so")
         try:
-            if not os.path.exists(so_path):
+            # Always invoke make (a no-op when fresh): timestamp-based
+            # rebuild keeps a stale .so from serving an old ABI after the
+            # source changes. The flock serializes concurrent first-use
+            # builds across processes (two CLIs starting on a fresh checkout
+            # used to race make and dlopen a half-written .so); the Makefile
+            # additionally renames the .so into place atomically.
+            import fcntl
+
+            with open(os.path.join(_native_dir(), ".build.lock"), "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
                 subprocess.run(
                     ["make", "-C", _native_dir()],
                     check=True,
@@ -64,6 +73,8 @@ def load_native() -> Optional[ctypes.CDLL]:
         ]
         lib.tsr_writer_close.restype = ctypes.c_int
         lib.tsr_writer_close.argtypes = [ctypes.c_void_p]
+        lib.tsr_writer_abort.restype = ctypes.c_int
+        lib.tsr_writer_abort.argtypes = [ctypes.c_void_p]
         lib.tsr_reader_open.restype = ctypes.c_void_p
         lib.tsr_reader_open.argtypes = [ctypes.c_char_p]
         lib.tsr_reader_count.restype = ctypes.c_uint64
@@ -135,19 +146,29 @@ class RecordWriter:
                 raise IOError("tsrstore: close failed")
         elif self._pyfile is not None:
             index_offset = self._pypos
-            for key, off, length in sorted(self._pyindex):
+            # duplicate puts resolve to the latest value — the reference's
+            # LMDB txn.put overwrite semantics (build_lmdb.py:136), identical
+            # to the native writer's stable-sort + last-of-run dedup
+            dedup = {}
+            for key, off, length in self._pyindex:
+                dedup[key] = (off, length)
+            for key in sorted(dedup):
+                off, length = dedup[key]
                 self._pyfile.write(_IDX.pack(len(key), off, length))
                 self._pyfile.write(key)
             self._pyfile.seek(8)
-            self._pyfile.write(struct.pack("<QQ", len(self._pyindex), index_offset))
+            self._pyfile.write(struct.pack("<QQ", len(dedup), index_offset))
             self._pyfile.close()
             self._pyfile = None
 
     def abort(self) -> None:
-        """Release file handles without finalizing; the directory may hold a
-        truncated data file (callers delete it)."""
+        """Release file handles WITHOUT finalizing: no index is written and
+        the header keeps its zeroed count/index_offset, so a later open of
+        the partial file raises IOError instead of serving a valid-looking
+        truncated dataset. The directory may hold the partial data file
+        (callers delete it)."""
         if self._handle is not None:
-            self._lib.tsr_writer_close(self._handle)
+            self._lib.tsr_writer_abort(self._handle)
             self._handle = None
         elif self._pyfile is not None:
             self._pyfile.close()
@@ -156,8 +177,14 @@ class RecordWriter:
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, exc, tb):
+        # commit only on clean exit: closing during exception propagation
+        # would finalize a valid-looking database holding a silently
+        # truncated record set (review r3; build_db.py guards the same way)
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
 
 
 class RecordReader:
@@ -195,9 +222,16 @@ class RecordReader:
             self._count = int(self._lib.tsr_reader_count(self._handle))
         else:
             f = open(path, "rb")
-            self._mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-            f.close()
-            magic, count, index_offset = _HEADER.unpack_from(self._mm, 0)
+            try:
+                self._mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            except ValueError as e:  # 0-byte file: "cannot mmap an empty file"
+                raise IOError(f"tsrstore: cannot map {path}: {e}")
+            finally:
+                f.close()
+            try:
+                magic, count, index_offset = _HEADER.unpack_from(self._mm, 0)
+            except struct.error as e:  # < 24-byte file (builder killed early)
+                raise IOError(f"tsrstore: truncated header in {path}: {e}")
             if magic != _MAGIC:
                 raise IOError(f"tsrstore: bad magic in {path}")
             # corruption sanity, mirroring the native reader: the index must
@@ -225,9 +259,16 @@ class RecordReader:
     def __len__(self) -> int:
         return self._count
 
+    def _check_open(self) -> None:
+        # use-after-close used to surface as AttributeError from the native
+        # branch falling through to never-created pure-Python state
+        if self._handle is None and self._mm is None:
+            raise ValueError("tsrstore: reader is closed")
+
     def keys(self) -> List[bytes]:
         """All keys in sorted order (LMDB cursor iteration parity)."""
         if self._keys is None:
+            self._check_open()
             if self._handle is not None:
                 out = []
                 kp = ctypes.c_char_p()
@@ -242,6 +283,7 @@ class RecordReader:
         return self._keys
 
     def get(self, key: bytes) -> bytes:
+        self._check_open()
         if isinstance(key, str):
             key = key.encode("ascii")
         if self._handle is not None:
@@ -257,7 +299,14 @@ class RecordReader:
         return bytes(self._mm[off:off + length])
 
     def get_at(self, i: int) -> bytes:
-        """Value at sorted position i — avoids key marshalling on the hot path."""
+        """Value at sorted position i — avoids key marshalling on the hot
+        path. Negative indices wrap Python-style on both backends (they used
+        to wrap through c_uint64 on the native one only)."""
+        self._check_open()
+        if i < 0:
+            i += self._count
+        if not 0 <= i < self._count:
+            raise IndexError(i)
         if self._handle is not None:
             vp = ctypes.c_char_p()
             vlen = ctypes.c_uint64()
