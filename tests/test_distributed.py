@@ -80,3 +80,23 @@ def test_trainer_runs_on_hybrid_mesh_sharding():
     pmsk = distributed.global_batch_from_local(msk, sharding)
     state, metrics = tstep(state, pimg, pmsk)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_hybrid_mesh_rejects_host_straddling_spatial(monkeypatch):
+    """A spatial group spanning hosts would break the data axis's process
+    contiguity (and put conv halos on DCN) — fail fast (review r3)."""
+    monkeypatch.setattr(jax, "local_device_count", lambda: 2)
+    with pytest.raises(ValueError, match="straddle"):
+        distributed.make_hybrid_mesh(ici_spatial=4)
+
+
+def test_process_local_batch_checks_data_shards(monkeypatch):
+    """A per-host batch that doesn't split across the host's data shards
+    must fail here with the numbers named, not deep inside the prefetch
+    thread (review r3). 8 devices / 4 hosts -> 2 shards per host."""
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert distributed.process_local_batch_size(16) == 4
+    with pytest.raises(ValueError, match="data shards per host"):
+        distributed.process_local_batch_size(12)  # per-host 3 over 2 shards
+    # spatial meshes shard the batch over fewer devices: 12 is fine there
+    assert distributed.process_local_batch_size(12, data_shards=4) == 3

@@ -50,16 +50,41 @@ def make_hybrid_mesh(ici_spatial: int = 1) -> Mesh:
     n = len(devices)
     if n % ici_spatial:
         raise ValueError(f"{n} devices not divisible by spatial={ici_spatial}")
+    # each spatial group must live inside one host: a group straddling hosts
+    # would both put conv halo exchanges on DCN and break the data axis's
+    # process-contiguity, which global_batch_from_local's per-host slicing
+    # (and make_array_from_process_local_data's replica contract) relies on
+    local = jax.local_device_count()
+    if local % ici_spatial:
+        raise ValueError(
+            f"{local} local devices per host not divisible by "
+            f"spatial={ici_spatial}: spatial groups would straddle hosts")
     arr = np.asarray(devices).reshape(n // ici_spatial, ici_spatial)
     return Mesh(arr, ("data", "spatial"))
 
 
-def process_local_batch_size(global_batch: int) -> int:
-    """How many samples this host's readers must produce per step."""
+def process_local_batch_size(global_batch: int,
+                              data_shards: Optional[int] = None) -> int:
+    """How many samples this host's readers must produce per step.
+
+    ``data_shards`` is the mesh's global data-axis size (defaults to all
+    devices — the trainer's pure-DP hybrid mesh); under spatial partitioning
+    pass ``mesh.shape["data"]``.
+    """
     n = jax.process_count()
     if global_batch % n:
         raise ValueError(f"global batch {global_batch} not divisible by {n} hosts")
-    return global_batch // n
+    local = global_batch // n
+    # fail here, with the numbers named, rather than deep inside the prefetch
+    # thread: a batch-sharded global array needs one whole sample per data
+    # shard, so the local slice must split across this host's data shards
+    # (hosts are contiguous on the data axis per make_hybrid_mesh)
+    shards_per_host = max((data_shards or jax.device_count()) // n, 1)
+    if local % shards_per_host:
+        raise ValueError(
+            f"per-host batch {local} (global {global_batch} / {n} hosts) not "
+            f"divisible by {shards_per_host} data shards per host")
+    return local
 
 
 def process_local_batch_slice(global_batch: int) -> slice:

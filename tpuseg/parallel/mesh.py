@@ -67,7 +67,7 @@ def shard_batch(mesh: Mesh, images, labels) -> Tuple[jax.Array, jax.Array]:
     return jax.device_put(images, bs), jax.device_put(labels, bs)
 
 
-def optimizer_sharding(state, mesh: Mesh) -> "Any":
+def optimizer_sharding(state, mesh: Mesh):
     """ZeRO-1-style weight-update sharding (cf. "Automatic Cross-Replica
     Sharding of Weight Update in Data-Parallel Training"): Adam moments are
     pure per-parameter state, so they shard over the 'data' axis — GSPMD
@@ -77,7 +77,7 @@ def optimizer_sharding(state, mesh: Mesh) -> "Any":
     n = mesh.shape["data"]
 
     def leaf_spec(x):
-        if getattr(x, "ndim", 0) >= 1 and x.shape[-1] % n == 0 and x.shape[-1] >= n:
+        if getattr(x, "ndim", 0) >= 1 and x.shape[-1] > 0 and x.shape[-1] % n == 0:
             return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["data"])))
         return NamedSharding(mesh, P())
 

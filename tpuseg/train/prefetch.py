@@ -29,10 +29,31 @@ def device_prefetch(
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
-    def producer():
-        try:
-            for images, labels in host_iter:
+    def put_last(item) -> None:
+        # Terminal put (sentinel / exception) that cannot deadlock when the
+        # consumer has already left: once `stop` is set the consumer never
+        # get()s again, so a Full queue means nobody needs the item. (A
+        # depth=1 pipeline could otherwise block here forever when the
+        # consumer's drain ran before the producer's final data put landed.)
+        while True:
+            try:
+                q.put(item, timeout=0.1)
+                return
+            except queue.Full:
                 if stop.is_set():
+                    return
+
+    def producer():
+        it = iter(host_iter)
+        try:
+            while not stop.is_set():
+                # stop is checked BEFORE the pull: closing the iterator must
+                # not consume (and discard) one more global batch from the
+                # shared reader queue — the trainer closes the test iterator
+                # every test epoch precisely to stop that consumption
+                try:
+                    images, labels = next(it)
+                except StopIteration:
                     return
                 # dtypes pass through: float32 on the host-processed path,
                 # compact uint16/uint8 on the raw path (cast happens on device)
@@ -48,9 +69,9 @@ def device_prefetch(
                     labels = jax.device_put(labels)
                 q.put((images, labels))
         except Exception as e:  # surface reader crashes to the consumer
-            q.put(e)
+            put_last(e)
         finally:
-            q.put(None)
+            put_last(None)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
