@@ -243,6 +243,61 @@ def test_minimize_dtype():
     assert minimize_dtype(np.array([[1, 255]])).dtype == np.uint8
     assert minimize_dtype(np.array([[1, 256]])).dtype == np.uint16
     assert minimize_dtype(np.array([[1, 70000]])).dtype == np.int32
+    # negative labels (-1 ignore/void) must stay signed — an unsigned cast
+    # silently wrapped them to 255/65535 (review r3)
+    out = minimize_dtype(np.array([[-1, 3]]))
+    assert out.dtype == np.int32 and out.min() == -1
+    assert minimize_dtype(np.array([], dtype=np.int64)).dtype == np.uint8
+
+
+def test_tile_geometry_errors_are_actionable(tiny):
+    """Bad --tile_size/--radius raise ValueError with the rule named, not a
+    bare assert that strips under python -O (review r3)."""
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    img = np.zeros((300, 300), np.float32)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        inference_tiled(img, predict, tile_size=1000, radius=96)
+    with pytest.raises(ValueError, match="receptive-field halo"):
+        inference_tiled(img, predict, tile_size=128, radius=96)
+
+
+def test_tiled_returns_device_dtype(tiny):
+    """num_classes<=256 keeps the device's uint8 (half the transfer; the
+    saver re-minimizes anyway); without num_classes it stays int32."""
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    img = np.random.default_rng(7).random((300, 300)).astype(np.float32)
+    u8 = inference_tiled(img, predict, tile_size=288, radius=96,
+                         batch_size=2, num_classes=3)
+    i32 = inference_tiled(img, predict, tile_size=288, radius=96, batch_size=2)
+    assert u8.dtype == np.uint8 and i32.dtype == np.int32
+    assert (u8 == i32).all()
+
+
+def test_streaming_writer_setup_failure_spawns_no_producer(tiny, tmp_path):
+    """A writer-constructor failure (unwritable path) must raise before the
+    window-reader thread ever starts — the ctor used to run after the
+    thread, leaking it with a decoded window group pinned (review r3)."""
+    import threading
+
+    from tpuseg.infer.tiled import inference_tiled_streaming
+    from tpuseg.utils import bigtiff
+
+    model, variables = tiny
+    predict = make_predict_fn(model, variables)
+    img = np.random.default_rng(8).integers(0, 4096, size=(640, 480)).astype(np.uint16)
+    src = str(tmp_path / "slide2.tif")
+    bigtiff.write_bigtiff(src, img, tile=(128, 128))
+
+    before = {t.name for t in threading.enumerate()}
+    with bigtiff.BigTiffReader(src) as reader:
+        with pytest.raises(IOError):
+            inference_tiled_streaming(
+                reader, predict, str(tmp_path / "no-such-dir" / "out.tif"),
+                tile_size=288, radius=96, batch_size=2, num_classes=3)
+    leaked = {t.name for t in threading.enumerate()} - before
+    assert not any("stream-read" in n for n in leaked)
 
 
 def test_erf_radius_is_x16_and_plausible(tiny):

@@ -461,3 +461,16 @@ def test_read_ahead_uses_calibration_cache(tmp_path, monkeypatch):
     assert [p for p, _, _ in out] == paths
     assert reads == paths[1:]  # cached image skipped, stats-only re-read
     assert not cache  # drained
+
+
+def test_check_channels_rejects_bad_ndim():
+    """A 4D decode (multi-page TIFF) used to pass the fail-fast gate as
+    '1-channel' and die on an opaque shape error downstream (review r3)."""
+    from tpuseg.infer.runner import _check_channels
+
+    with pytest.raises(ValueError, match="HW or HWC"):
+        _check_channels((3, 64, 64, 3), 1, "pages.tif")
+    with pytest.raises(ValueError, match="HW or HWC"):
+        _check_channels((64,), 1, "vector.tif")
+    _check_channels((64, 64), 1, "ok.tif")
+    _check_channels((64, 64, 3), 3, "ok3.tif")

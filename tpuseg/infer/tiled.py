@@ -140,6 +140,20 @@ def _mesh_size(mesh) -> int:
     return 1 if mesh is None else int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
 
+def _check_tile_geometry(tile_size: int, radius: int, zor: int) -> None:
+    """User-facing geometry validation (tile_size/radius come straight from
+    CLI flags): ValueError with the rule named, not a bare assert that
+    strips under ``python -O`` (review r3)."""
+    if tile_size % SIZE_FACTOR or radius % SIZE_FACTOR:
+        raise ValueError(
+            f"tile_size and radius must be multiples of {SIZE_FACTOR} "
+            f"(4 pool/2 stages), got tile_size={tile_size} radius={radius}")
+    if zor < radius:
+        raise ValueError(
+            f"tile size too small for the receptive-field halo: zone "
+            f"{zor} < radius {radius} (need tile_size >= 3*radius)")
+
+
 def _zor_placements(height: int, width: int, zor: int, tile_size: int,
                     radius: int, clamp_h: int, clamp_w: int,
                     ) -> List[Tuple[int, int, int, int, int, int]]:
@@ -385,6 +399,10 @@ def inference_tiled(
     8 lose sublane alignment and run ~40% slower per tile (measured, see
     BASELINE.md).
 
+    Returns labels in the device dtype: uint8 when ``num_classes <= 256``
+    was given (the program emits uint8 — half the transfer, and no host
+    widening the saver would immediately undo), int32 otherwise.
+
     ``norm_stats``: optional per-channel ``(mean, std)`` from
     :func:`tpuseg.data.preprocess.zscore_stats`. When given, ``img`` is
     shipped to the device in its native dtype and the z-score normalization
@@ -403,10 +421,8 @@ def inference_tiled(
     img, pad_y, pad_x = _pad_to_multiple(img)
     height, width = img.shape[0], img.shape[1]
 
-    assert tile_size % SIZE_FACTOR == 0
-    assert radius % SIZE_FACTOR == 0
     zor = tile_size - 2 * radius  # zone of responsibility, inference.py:58
-    assert zor >= radius, "tile size too small for the receptive-field halo"
+    _check_tile_geometry(tile_size, radius, zor)
 
     # guarantee full-size windows exist: reflect-pad skinny dims up to tile
     extra_y = max(0, tile_size - height)
@@ -430,7 +446,10 @@ def inference_tiled(
     if device_output:
         return mask[:mask.shape[0] - pad_y, :mask.shape[1] - pad_x]
 
-    mask = np.asarray(mask).astype(np.int32)
+    # keep the device dtype: with num_classes<=256 the program already emits
+    # uint8 (shrink_u8 — half the transfer), and widening to int32 here just
+    # made a 4x host copy the saver's minimize_dtype immediately undid
+    mask = np.asarray(mask)
     if pad_x > 0:
         mask = mask[:, :-pad_x]
     if pad_y > 0:
@@ -479,10 +498,8 @@ def inference_tiled_streaming(
         raise ValueError(
             f"streaming path expects a whole-slide image >= {tile_size}px per "
             f"dim, got {height}x{width} — use inference_tiled/_single instead")
-    assert tile_size % SIZE_FACTOR == 0
-    assert radius % SIZE_FACTOR == 0
     zor = tile_size - 2 * radius
-    assert zor >= radius, "tile size too small for the receptive-field halo"
+    _check_tile_geometry(tile_size, radius, zor)
 
     if norm_stats is None:
         norm_stats = reader.streaming_zscore_stats()
@@ -505,50 +522,29 @@ def inference_tiled_streaming(
     run = _single_batch_program(predict_fn, group_size, mesh)
     dmean, dstd = jnp.asarray(np.ascontiguousarray(mean)), jnp.asarray(np.ascontiguousarray(std))
 
-    # one-slot producer thread: the next group's region reads + zlib decode
-    # overlap the device compute of the current group (the reader's tile LRU
-    # is touched only from this thread)
-    import threading
+    # One-slot producer (prefetch_iter): the next group's region reads +
+    # zlib decode overlap the device compute of the current group (the
+    # reader's tile LRU is touched only from that thread). The thread only
+    # starts on first iteration — after the writer construction below — so
+    # a writer-setup failure (unwritable path, disk full) can never leak a
+    # producer pinned on a decoded window group (review r3).
+    from tpuseg.utils.queues import prefetch_iter
 
-    from tpuseg.utils.queues import CancellableQueue
-
-    # cancellable so a consumer failure (writer/device) releases this
-    # thread instead of pinning it plus a decoded window group for process
-    # life (same bug class as runner._read_ahead)
-    q = CancellableQueue(maxsize=1)
-    _end = object()
-
-    def produce():
-        try:
-            for s in range(0, len(placements), group_size):
-                if q.stopped():
-                    return
-                group = placements[s:s + group_size]
-                windows = [reader.read_region(y_st, x_st, tile_size, tile_size)
-                           for (_, _, _, _, y_st, x_st) in group]
-                while len(windows) < group_size:  # static-shape tail padding
-                    windows.append(windows[-1])
-                if not q.put((group, np.stack(windows))):
-                    return
-        except BaseException as e:
-            q.put(e)
-            return
-        q.put(_end)
-
-    threading.Thread(target=produce, daemon=True,
-                     name="tpuseg-stream-read").start()
+    def window_groups():
+        for s in range(0, len(placements), group_size):
+            group = placements[s:s + group_size]
+            windows = [reader.read_region(y_st, x_st, tile_size, tile_size)
+                       for (_, _, _, _, y_st, x_st) in group]
+            while len(windows) < group_size:  # static-shape tail padding
+                windows.append(windows[-1])
+            yield group, np.stack(windows)
 
     writer = BigTiffTileWriter(out_path, (height, width), out_dtype,
                                tile=(zor, zor), level=compression_level)
     done = 0
     try:
-        while True:
-            item = q.get()
-            if item is _end:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            group, windows = item
+        for group, windows in prefetch_iter(window_groups(), maxsize=1,
+                                            name="tpuseg-stream-read"):
             preds = np.asarray(run(jnp.asarray(windows), dmean, dstd))
             for (i, j, y_end_z, x_end_z, y_st, x_st), pred in zip(group, preds):
                 writer.put_tile(pred[i - y_st:y_end_z - y_st,
@@ -560,15 +556,19 @@ def inference_tiled_streaming(
     except BaseException:
         writer.abort()
         raise
-    finally:
-        q.stop()  # release the producer on every exit path
     return out_path
 
 
 def minimize_dtype(mask: np.ndarray) -> np.ndarray:
-    """Shrink the label dtype for saving (inference.py:215-220)."""
-    mx = mask.max() if mask.size else 0
-    if 0 <= mx <= 255:
+    """Shrink the label dtype for saving (inference.py:215-220). Masks with
+    negative labels (e.g. -1 ignore/void) stay int32 — an unsigned cast
+    would silently wrap them (review r3)."""
+    if mask.size == 0:
+        return mask.astype(np.uint8)
+    if mask.min() < 0:
+        return mask.astype(np.int32)
+    mx = mask.max()
+    if mx <= 255:
         return mask.astype(np.uint8)
     if mx < 65536:
         return mask.astype(np.uint16)

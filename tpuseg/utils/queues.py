@@ -47,3 +47,46 @@ class CancellableQueue:
 
     def stopped(self) -> bool:
         return self._stop.is_set()
+
+
+def prefetch_iter(items, maxsize: int = 1, name: str = "tpuseg-prefetch"):
+    """Iterate ``items`` on a daemon producer thread, ``maxsize`` ahead.
+
+    One mechanism for both IO-overlap producers in the inference stack
+    (folder read-ahead, whole-slide window streaming) instead of two
+    hand-rolled copies of the thread/sentinel/stop pattern: the thread
+    starts lazily on first iteration (so a consumer-setup failure before
+    the loop never spawns it), exceptions raised while producing propagate
+    to the consumer, and abandoning the generator (close / consumer
+    exception / normal exhaustion) releases the producer via
+    :class:`CancellableQueue` on every exit path.
+    """
+    q = CancellableQueue(maxsize=maxsize)
+    _end = object()
+
+    def produce():
+        try:
+            it = iter(items)
+            while not q.stopped():
+                try:
+                    item = next(it)
+                except StopIteration:
+                    break
+                if not q.put(item):
+                    return
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+            return
+        q.put(_end)
+
+    threading.Thread(target=produce, daemon=True, name=name).start()
+    try:
+        while True:
+            item = q.get()
+            if item is _end:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        q.stop()
