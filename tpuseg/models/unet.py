@@ -127,6 +127,13 @@ class DeconvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.impl not in ("conv_transpose", "pixel_shuffle"):
+            # a typo used to fall into the conv_transpose else-branch
+            # silently, building the wrong variant (and a checkpoint whose
+            # kernel shape fails to load under the intended impl later)
+            raise ValueError(
+                f"deconv impl must be 'conv_transpose' or 'pixel_shuffle', "
+                f"got {self.impl!r}")
         if self.impl == "pixel_shuffle":
             b, h, w, _ = x.shape
             x = nn.Conv(

@@ -13,9 +13,14 @@ Reference behavior (UNet/model.py:77, 204-228):
 
 TPU-first choice: the canonical path takes **logits** and uses a fused,
 numerically-stable ``log_softmax`` (XLA fuses it into the preceding matmul's
-epilogue). ``softmax -> clip(1e-7) -> log`` (Keras backend semantics) is kept
-as :func:`cce_from_probs` for parity tests; the two agree to float32
-round-off whenever no probability hits the clip boundary.
+epilogue). This also matches what the reference *actually executes*: its
+loss runs inside ``@tf.function`` (model.py:203 graph mode), where Keras's
+``backend.categorical_crossentropy`` detects the preceding Softmax op and
+takes the logits fast path — exact ``log_softmax``, not the clipped form.
+``softmax -> clip(1e-7) -> log`` (Keras *eager* backend semantics, which
+the reference never uses for training) is kept as :func:`cce_from_probs`
+for parity tests; the two agree to float32 round-off whenever no
+probability hits the clip boundary.
 """
 
 from __future__ import annotations

@@ -13,14 +13,14 @@ traced scalar carried in the train state, so changing it does NOT recompile.
 from __future__ import annotations
 
 import functools
-from typing import Any, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
 
-from tpuseg.models.unet import UNet
+from tpuseg.models.unet import UNet, init_variables
 from tpuseg.ops.losses import categorical_accuracy, cce_from_logits, reference_scalar_loss
 
 
@@ -33,17 +33,65 @@ class TrainState(flax.struct.PyTreeNode):
     rng: jax.Array
 
 
+class _KerasAdamState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def _scale_by_keras_adam(b1: float = 0.9, b2: float = 0.999,
+                         eps: float = 1e-7) -> optax.GradientTransformation:
+    """Adam with TF/Keras update semantics (optimizer_v2 Adam, the optimizer
+    the reference builds at model.py:79):
+
+        lr_t = lr * sqrt(1 - b2^t) / (1 - b1^t)
+        var -= lr_t * m_t / (sqrt(v_t) + eps)
+
+    i.e. epsilon is added to the UNCORRECTED sqrt(v_t). ``optax.adam`` adds
+    it to the bias-corrected sqrt(v_hat) instead, which makes its effective
+    epsilon ~31.6x smaller at step 1 (1/sqrt(1-b2^t)) — a measurable
+    step-for-step divergence from the reference early in training
+    (review r3). Pinned against a live tf.keras Adam in test_train_steps.
+    """
+
+    def init_fn(params):
+        return _KerasAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * (g * g), state.nu, updates)
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        scale = jnp.sqrt(1.0 - b2 ** c) / (1.0 - b1 ** c)
+        out = jax.tree.map(lambda m, v: scale * m / (jnp.sqrt(v) + eps), mu, nu)
+        return out, _KerasAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def keras_adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
+               eps: float = 1e-7) -> optax.GradientTransformation:
+    return optax.chain(_scale_by_keras_adam(b1, b2, eps),
+                       optax.scale_by_learning_rate(learning_rate))
+
+
 def make_optimizer() -> optax.GradientTransformation:
-    """Adam with Keras defaults (b1=0.9, b2=0.999, eps=1e-7; model.py:79) and
-    a runtime-injected learning rate."""
-    return optax.inject_hyperparams(optax.adam)(learning_rate=0.0, eps=1e-7)
+    """Adam with Keras defaults AND Keras update semantics (b1=0.9, b2=0.999,
+    eps=1e-7 applied to the uncorrected sqrt(v); model.py:79) and a
+    runtime-injected learning rate."""
+    return optax.inject_hyperparams(
+        keras_adam, static_args=("b1", "b2", "eps"))(learning_rate=0.0)
 
 
 def create_train_state(model: UNet, rng: jax.Array, num_channels: int, learning_rate: float,
                        spatial=(16, 16)) -> TrainState:
     init_rng, state_rng = jax.random.split(rng)
-    dummy = jnp.zeros((1, spatial[0], spatial[1], num_channels), jnp.float32)
-    variables = model.init({"params": init_rng}, dummy, train=False)
+    variables = init_variables(model, init_rng, num_channels, spatial=spatial)
     tx = make_optimizer()
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -78,9 +126,12 @@ def train_step(model: UNet, tx: optax.GradientTransformation, state: TrainState,
         return loss, (logits, updates["batch_stats"])
 
     (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-    opt_state = state.opt_state
-    # inject_hyperparams exposes the lr as a leaf we overwrite each step.
-    opt_state.hyperparams["learning_rate"] = state.lr
+    # inject_hyperparams exposes the lr as a leaf; rebuild the container
+    # functionally — writing into state.opt_state.hyperparams would mutate
+    # the CALLER's state in eager (un-jitted) use (review r3)
+    hp = dict(state.opt_state.hyperparams)
+    hp["learning_rate"] = state.lr
+    opt_state = state.opt_state._replace(hyperparams=hp)
     updates, new_opt_state = tx.update(grads, opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
 
@@ -159,13 +210,10 @@ def make_jitted_raw_steps(model: UNet, num_classes: int, aug_params=None,
 
     if aug_params is None:
         aug_params = DeviceAugmentParams()
-    tx = make_optimizer()
     split = jax.jit(jax.random.split)
-    tstep_inner = jax.jit(
-        functools.partial(train_step, model, tx, label_smoothing=label_smoothing),
-        donate_argnums=(0,),
-    )
-    estep_inner = jax.jit(functools.partial(eval_step, model, label_smoothing=label_smoothing))
+    # the optimization pair is exactly the single-device one — one
+    # definition of the jit/donation wiring for both paths
+    tstep_inner, estep_inner = make_jitted_steps(model, label_smoothing)
 
     aug_train = functools.partial(augment_and_preprocess_batch, params=aug_params,
                                   num_classes=num_classes, augment=augment)
