@@ -17,9 +17,13 @@ def data():
 
 @pytest.mark.parametrize("mode", ["roll", "dma"])
 def test_pallas_variants_match_barrel(monkeypatch, data, mode):
+    from tpuseg.ops import warp
+
     img, off = data
     baseline = np.asarray(_apply_shear_x(img, off))  # barrel (default)
-    monkeypatch.setenv("TPUSEG_SHEAR", mode)
+    # the knob is resolved at import (env reads at trace time desync from
+    # jit caches); eager tests override the module constant directly
+    monkeypatch.setattr(warp, "_SHEAR_MODE", mode)
     alt = np.asarray(_apply_shear_x(img, off))
     # fma/fusion ordering differs between implementations: float32-equal
     np.testing.assert_allclose(alt, baseline, rtol=1e-6, atol=1e-7)

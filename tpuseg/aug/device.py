@@ -9,9 +9,12 @@ VPU does the math between MXU convs.
 
 Semantics mirror ``tpuseg.aug.host`` (itself mirroring UNet/augment.py) with
 two documented divergences:
-- rotation+scale+translation compose into ONE bilinear resample (the
-  reference resamples twice, augment.py:163-167); one resample is cheaper
-  and strictly less lossy;
+- the affine runs through the gather-free shear warp (tpuseg.ops.warp):
+  rotation = rot90 + three Paeth shears, then a separable scale/translate
+  resample. Same two-stage resampling order as the reference
+  (augment.py:163-167); the shears add one extra resample inside the
+  rotation stage — an interpolation-softening difference only, pinned on
+  interiors in test_aug_parity_host_device;
 - blur is spatial-only (the reference's scalar-sigma gaussian_filter also
   blurs across the channel axis, augment.py:136 — an artifact, not a
   feature). Identical for single-channel data.
@@ -50,37 +53,6 @@ class DeviceAugmentParams:
         return max(k, 1)
 
 
-def _mirror_index(idx: jnp.ndarray, size: int) -> jnp.ndarray:
-    """numpy-pad-'reflect' indexing: ... 2 1 | 0 1 2 .. n-1 | n-2 n-3 ..."""
-    period = 2 * (size - 1) if size > 1 else 1
-    idx = jnp.abs(idx)
-    idx = jnp.mod(idx, period)
-    return jnp.where(idx >= size, period - idx, idx).astype(jnp.int32)
-
-
-def _bilinear_sample(img: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
-    """Sample img [H,W,C] at float coords (rows, cols) [H,W] with bilinear
-    interpolation and mirror boundary."""
-    h, w = img.shape[0], img.shape[1]
-    r0 = jnp.floor(rows)
-    c0 = jnp.floor(cols)
-    fr = (rows - r0)[..., None]
-    fc = (cols - c0)[..., None]
-    r0i = r0.astype(jnp.int32)
-    c0i = c0.astype(jnp.int32)
-
-    def gather(ri, ci):
-        return img[_mirror_index(ri, h), _mirror_index(ci, w)]
-
-    v00 = gather(r0i, c0i)
-    v01 = gather(r0i, c0i + 1)
-    v10 = gather(r0i + 1, c0i)
-    v11 = gather(r0i + 1, c0i + 1)
-    top = v00 * (1 - fc) + v01 * fc
-    bot = v10 * (1 - fc) + v11 * fc
-    return top * (1 - fr) + bot * fr
-
-
 def _sample_affine(rng: jax.Array, h: int, w: int, p: DeviceAugmentParams):
     """Draw the per-sample transform parameters (augment.py:62-106 logic)."""
     ks = jax.random.split(rng, 8)
@@ -102,22 +74,6 @@ def _sample_affine(rng: jax.Array, h: int, w: int, p: DeviceAugmentParams):
     return theta, refl_x, refl_y, tx, ty, sx, sy
 
 
-def _warp_coords(h: int, w: int, theta, tx, ty, sx, sy) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Inverse-map output pixel coords through translate/scale then rotation
-    (matching the reference's rotate-first forward order)."""
-    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    # inverse of corner-anchored scale+translate (augment.py:165-167)
-    r1 = (rows - ty) / sy
-    c1 = (cols - tx) / sx
-    # inverse of CCW rotation about the center (augment.py:163)
-    cy, cx = h / 2.0 - 0.5, w / 2.0 - 0.5
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
-    r2 = cos * (r1 - cy) + sin * (c1 - cx) + cy
-    c2 = -sin * (r1 - cy) + cos * (c1 - cx) + cx
-    return r2, c2
-
-
 def _gaussian_kernel(sigma: jnp.ndarray, size: int) -> jnp.ndarray:
     """1-D gaussian taps; sigma<=0 degenerates to a delta (no blur)."""
     half = size // 2
@@ -130,10 +86,14 @@ def _gaussian_kernel(sigma: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def _separable_blur(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable blur of [H,W,C] with mirror padding."""
+    """Depthwise separable blur of [H,W,C]. Padding is numpy-'symmetric'
+    (edge-repeated), which is what scipy calls mode='reflect' — the mode the
+    reference's gaussian_filter uses (augment.py:136). numpy-'reflect'
+    (mirror) diverged from the host path by up to 8% of the dynamic range
+    within a kernel-width of every border (review r3)."""
     size = kernel.shape[0]
     half = size // 2
-    x = jnp.pad(img, ((half, half), (half, half), (0, 0)), mode="reflect")
+    x = jnp.pad(img, ((half, half), (half, half), (0, 0)), mode="symmetric")
     # rows pass:   [H+2p, W, C] <- weighted sum of row-shifted slices
     x = jnp.moveaxis(x, -1, 0)  # C,Hp,Wp
     rows = sum(kernel[i] * x[:, i:i + img.shape[0], :] for i in range(size))

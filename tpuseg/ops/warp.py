@@ -32,12 +32,21 @@ ran ~18x slower on this backend).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ROWS_PER_PROGRAM = 8
+
+# Shear implementation knob, resolved ONCE at import: reading the env var at
+# trace time silently desyncs from jit caches (a program compiled under the
+# old value keeps serving after the env changes — an A/B that toggles the
+# var mid-process would measure the wrong kernel; review r3). Set it before
+# importing tpuseg, or monkeypatch warp._SHEAR_MODE in eager tests.
+_SHEAR_MODE = os.environ.get("TPUSEG_SHEAR", "barrel")
 
 
 def _mirror_float(x: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -203,14 +212,13 @@ def _shear_rows(img_padded, shift, frac, out_width):
       async DMA (arbitrary offsets are legal for the DMA engine, unlike
       vector loads). The canonical form on standard TPU runtimes; this
       environment's chipless remote compiler crashes on manual-DMA kernels.
-    CPU runs the Pallas variants in interpret mode.
+    CPU runs the Pallas variants in interpret mode. The mode comes from
+    module-level ``_SHEAR_MODE`` (TPUSEG_SHEAR read once at import — see the
+    note there about jit-cache desync).
     """
-    import os
-
-    mode = os.environ.get("TPUSEG_SHEAR", "barrel")
-    if mode == "roll":
+    if _SHEAR_MODE == "roll":
         return _shear_rows_roll_pallas(img_padded, shift, frac, out_width)
-    if mode == "dma":
+    if _SHEAR_MODE == "dma":
         return _shear_rows_pallas(img_padded, shift, frac, out_width)
     return _shear_rows_barrel(img_padded, shift, frac, out_width)
 
