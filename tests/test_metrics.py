@@ -195,3 +195,43 @@ def test_confusion_matrix_chunk_padding_neutral():
         t = rng.integers(0, 3, n)
         cm = np.asarray(M.confusion_matrix(jnp.asarray(p), jnp.asarray(t), 3))
         np.testing.assert_array_equal(cm, M._bincount_cm(p, t, 3))
+
+
+def test_evaluate_folder_reports_unmatched(tmp_path, capsys):
+    """A partial prediction set must be named, not silently scored as the
+    corpus (review r3)."""
+    import numpy as np
+
+    from tpuseg.ops.metrics import evaluate_folder
+    from tpuseg.utils.imagio import imwrite
+
+    pred, truth = tmp_path / "pred", tmp_path / "truth"
+    pred.mkdir(), truth.mkdir()
+    m = np.zeros((32, 32), np.uint8)
+    imwrite(str(pred / "a.tif"), m)
+    imwrite(str(truth / "a.tif"), m)
+    imwrite(str(truth / "b.tif"), m)  # truth with no prediction
+    r = evaluate_folder(str(pred), str(truth), num_classes=2)
+    assert r["num_images"] == 1
+    assert r["num_unmatched_pred"] == 0 and r["num_unmatched_truth"] == 1
+    assert "NOT scored" in capsys.readouterr().out
+
+
+def test_corrupt_tile_normalizes_to_ioerror(tmp_path):
+    """A mid-file decode failure raises IOError (the foreign-dialect signal
+    that engages imread fallbacks), not raw zlib.error (review r3)."""
+    import numpy as np
+
+    from tpuseg.utils.bigtiff import BigTiffReader, write_bigtiff
+
+    fp = str(tmp_path / "x.tif")
+    img = np.random.default_rng(0).integers(0, 255, (128, 128)).astype(np.uint8)
+    write_bigtiff(fp, img, tile=(64, 64))
+    with BigTiffReader(fp) as r:
+        off = int(r._offsets[0])
+    data = bytearray(open(fp, "rb").read())
+    data[off:off + 8] = b"\xff" * 8  # corrupt the first tile's stream
+    open(fp, "wb").write(bytes(data))
+    with BigTiffReader(fp) as r:
+        with pytest.raises(IOError):
+            r.read_region(0, 0, 64, 64)

@@ -164,10 +164,19 @@ def evaluate_folder(pred_folder: str, truth_folder: str, num_classes: int) -> Di
     from tpuseg.utils.bigtiff import is_bigtiff
     from tpuseg.utils.imagio import imread
 
-    files = sorted(f for f in os.listdir(pred_folder)
-                   if os.path.exists(os.path.join(truth_folder, f)))
+    preds = sorted(os.listdir(pred_folder))
+    files = [f for f in preds if os.path.exists(os.path.join(truth_folder, f))]
     if not files:
         raise IOError(f"no matching mask files between {pred_folder} and {truth_folder}")
+    # a partial prediction set (inference crashed mid-corpus) must not
+    # silently score as the corpus mIoU — name the asymmetry (review r3)
+    unmatched_pred = len(preds) - len(files)
+    matched = set(files)
+    unmatched_truth = sum(1 for f in os.listdir(truth_folder) if f not in matched)
+    if unmatched_pred or unmatched_truth:
+        print(f"WARNING: scoring {len(files)} matched pairs; "
+              f"{unmatched_pred} prediction file(s) and {unmatched_truth} "
+              f"truth file(s) have no counterpart and are NOT scored")
     cm_total = np.zeros((num_classes, num_classes), np.float64)
     for fn in files:
         pred_fp = os.path.join(pred_folder, fn)
@@ -183,13 +192,19 @@ def evaluate_folder(pred_folder: str, truth_folder: str, num_classes: int) -> Di
         pred = np.asarray(imread(pred_fp)).astype(np.int32)
         true = np.asarray(imread(truth_fp)).astype(np.int32)
         cm_total += _bincount_cm(pred, true, num_classes)
-    cm = jnp.asarray(cm_total)
-    iou = iou_from_confusion(cm)
-    present = np.asarray((cm.sum(axis=1) + cm.sum(axis=0)) > 0)
-    miou = float(np.asarray(iou)[present].mean()) if present.any() else 0.0
+    # pure numpy: float64-exact above 2^24 pixels, and the evaluate CLI
+    # never initializes a device backend just to divide a KxK matrix
+    # (review r3; the jnp path also demoted the counts to float32)
+    tp = np.diag(cm_total)
+    denom = cm_total.sum(axis=1) + cm_total.sum(axis=0) - tp
+    iou = np.where(denom > 0, tp / np.maximum(denom, 1.0), 0.0)
+    present = (cm_total.sum(axis=1) + cm_total.sum(axis=0)) > 0
+    miou = float(iou[present].mean()) if present.any() else 0.0
     return {
         "mean_iou": miou,
-        "per_class_iou": [float(v) for v in np.asarray(iou)],
+        "per_class_iou": [float(v) for v in iou],
         "pixel_accuracy": float(np.trace(cm_total) / max(cm_total.sum(), 1.0)),
         "num_images": len(files),
+        "num_unmatched_pred": unmatched_pred,
+        "num_unmatched_truth": unmatched_truth,
     }

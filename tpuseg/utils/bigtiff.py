@@ -210,15 +210,22 @@ class BigTiffReader:
         self.close()
 
     def _tile(self, idx: int) -> np.ndarray:
-        """Decoded (th, tw, spp) tile block, LRU-cached."""
+        """Decoded (th, tw, spp) tile block, LRU-cached. Decode failures
+        (sparse tiles with offset 0 as GDAL emits, non-padded edge tiles,
+        corrupt deflate streams) normalize to IOError — the documented
+        foreign-dialect signal that engages callers' imread fallbacks; raw
+        zlib.error/ValueError used to escape past them (review r3)."""
         block = self._cache.pop(idx, None)
         if block is None:
-            self._f.seek(int(self._offsets[idx]))
-            data = self._f.read(int(self._counts[idx]))
-            if self._comp == 8:
-                data = zlib.decompress(data)
-            block = np.frombuffer(data, self.dtype).reshape(
-                self.tile_height, self.tile_width, self.channels)
+            try:
+                self._f.seek(int(self._offsets[idx]))
+                data = self._f.read(int(self._counts[idx]))
+                if self._comp == 8:
+                    data = zlib.decompress(data)
+                block = np.frombuffer(data, self.dtype).reshape(
+                    self.tile_height, self.tile_width, self.channels)
+            except (zlib.error, ValueError) as e:
+                raise IOError(f"cannot decode tile {idx}: {e}")
             if len(self._cache) >= self._cache_max:
                 self._cache.pop(next(iter(self._cache)))
         self._cache[idx] = block  # (re-)insert as most recent

@@ -41,10 +41,35 @@ def _fully_addressable(tree) -> bool:
 
 def _gather_to_host(tree):
     """Collective gather of a (possibly cross-host-sharded) state tree to
-    host numpy on every process. Must be called by all processes."""
+    host numpy on every process. Must be called by all processes.
+
+    Per-leaf: only non-fully-addressable leaves go through
+    ``process_allgather`` (which assembles the global value). Passing the
+    whole MIXED tree would STACK every fully-addressable leaf along a new
+    [num_processes] axis (the documented host-local behavior) — e.g. the
+    scalar ``lr`` became shape (P,) and the checkpoint failed to restore
+    against the template (review r3)."""
     from jax.experimental import multihost_utils
 
-    return multihost_utils.process_allgather(tree, tiled=False)
+    def leaf(x):
+        if getattr(x, "is_fully_addressable", True):
+            return jax.device_get(x)
+        return multihost_utils.process_allgather(x)
+
+    return jax.tree.map(leaf, tree)
+
+
+def _writer():
+    """An orbax checkpointer that writes host-local trees from process 0
+    alone. ``Checkpointer.save`` opens with a barrier over its
+    ``active_processes`` — the default (all processes) DEADLOCKS when only
+    process 0 calls it (review r3), so on multi-host the barrier set is
+    scoped to {0}."""
+    if jax.process_count() > 1:
+        return ocp.StandardCheckpointer(
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}))
+    return ocp.StandardCheckpointer()
 
 
 def save_checkpoint(path: str, state) -> None:
@@ -62,7 +87,7 @@ def save_checkpoint(path: str, state) -> None:
         return
     else:
         tree = jax.device_get(tree)
-    with ocp.StandardCheckpointer() as ckptr:
+    with _writer() as ckptr:
         ckptr.save(path, tree, force=True)
 
 
@@ -95,20 +120,25 @@ class AsyncCheckpointWriter:
 
     def save(self, path: str, state) -> None:
         self.wait()
+        import jax.numpy as jnp
+
         tree = _to_save_tree(state)
-        if not _fully_addressable(tree) or jax.process_count() > 1:
-            # collective gather on the caller thread; non-primary hosts are
-            # done after participating
-            if not _fully_addressable(tree):
+        addressable = _fully_addressable(tree)
+        if not addressable or jax.process_count() > 1:
+            if not addressable:
+                # collective gather on the caller thread (collectives must
+                # not race the step stream); result is host numpy
                 tree = _gather_to_host(tree)
+            else:
+                # snapshot on device: the train loop donates state buffers
+                # to the next step, which would race the background
+                # device_get (review r3 — the single-process branch always
+                # snapshotted, this one handed the thread live buffers)
+                tree = jax.tree.map(jnp.copy, tree)
             if jax.process_index() != 0:
                 return
             target, args = self._write_host_tree, (path, tree)
         else:
-            # snapshot on device first: the train loop donates state buffers
-            # to the next step, which would race with the thread's device_get
-            import jax.numpy as jnp
-
             snapshot = jax.tree.map(jnp.copy, state)
             target, args = save_checkpoint, (path, snapshot)
         self._thread = threading.Thread(
@@ -118,7 +148,7 @@ class AsyncCheckpointWriter:
     @staticmethod
     def _write_host_tree(path: str, tree) -> None:
         path = os.path.abspath(path)
-        with ocp.StandardCheckpointer() as ckptr:
+        with _writer() as ckptr:
             ckptr.save(path, jax.device_get(tree), force=True)
 
     def wait(self) -> None:

@@ -35,8 +35,13 @@ def imread(fp: str) -> np.ndarray:
         img = cv2.imread(fp, cv2.IMREAD_UNCHANGED)
         if img is None:
             raise IOError(f"cannot read image: {fp}")
+        # cv2 returns BGR(A); flip to the RGB(A) order the imageio path
+        # yields so the two backends agree (4-channel reads used to come
+        # back channel-swapped — review r3)
         if img.ndim == 3 and img.shape[2] == 3:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        elif img.ndim == 3 and img.shape[2] == 4:
+            img = cv2.cvtColor(img, cv2.COLOR_BGRA2RGBA)
         return img
 
 
