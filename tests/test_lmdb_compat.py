@@ -403,3 +403,25 @@ def test_convert_db_output_is_existing_file(tmp_path):
     out.write_bytes(b"not a directory")
     with pytest.raises(IOError, match="already exists"):
         convert(db, str(out), "tsr")
+
+
+def test_writer_rejects_unpackable_put(tmp_path):
+    """A key too long for the page size (or a >4 GiB value length) must
+    fail at put() with the limit named — the packer used to blow up at
+    close() (or silently mask dsize to 32 bits) instead (review r3)."""
+    from tpuseg.data.lmdb_compat import LmdbWriter
+
+    w = LmdbWriter(str(tmp_path / "small"), psize=512)
+    with pytest.raises(ValueError, match="too large for page size"):
+        w.put(b"k" * 500, b"x" * 10000)
+    w.put(b"ok", b"v")  # normal puts still work at psize=512
+    w.close()
+
+    class _FakeLen(bytes):
+        def __len__(self):
+            return (1 << 32) + 100
+
+    w2 = LmdbWriter(str(tmp_path / "big"))
+    with pytest.raises(ValueError, match="4 GiB"):
+        w2.put(b"k", _FakeLen(b"x"))
+    w2.abort()

@@ -45,3 +45,38 @@ def test_resume_continues_from_checkpoint(dbs, tmp_path):
     # resumed run continues and produces finite losses from the restored state
     assert np.isfinite(r2.final_train_loss)
     assert len(r2.test_loss) == 1
+
+
+def test_resume_same_output_dir_keeps_history_and_best(dbs, tmp_path):
+    """Resuming into the SAME output dir continues the test-loss history
+    (test_loss.csv), so the first post-resume epoch competes against the
+    whole run instead of trivially overwriting the stored best, and the
+    lr/10 warmup epoch is not re-run on an already-warm optimizer
+    (review r3)."""
+    import os
+
+    train_db, test_db = dbs
+    out = str(tmp_path / "run")
+    base = dict(
+        train_database=train_db, test_database=test_db,
+        batch_size=1, test_every_n_steps=2, early_stopping_count=10,
+        use_augmentation=False, device_augment=False, dtype="float32",
+        base_features=2, seed=0, output_folder=out,
+    )
+    r1 = train_model(TrainConfig(max_epochs=2, **base))
+    assert len(r1.test_loss) == 2
+
+    ckpt_mtime = os.path.getmtime(os.path.join(out, "checkpoint"))
+    r2 = train_model(TrainConfig(
+        max_epochs=3, resume_checkpoint=r1.checkpoint_path, **base))
+    # the prior 2 epochs stay in the history; one new epoch ran
+    assert len(r2.test_loss) == 3
+    assert r2.test_loss[:2] == pytest.approx(r1.test_loss)
+    # the csv now holds the merged history too
+    with open(os.path.join(out, "test_loss.csv")) as f:
+        csv_hist = [float(line) for line in f if line.strip()]
+    assert csv_hist == pytest.approx(r2.test_loss)
+    # if the new epoch did NOT beat the best, the checkpoint was not
+    # clobbered (the old bug saved unconditionally on a singleton history)
+    if r2.test_loss[2] > min(r2.test_loss[:2]):
+        assert os.path.getmtime(os.path.join(out, "checkpoint")) == ckpt_mtime

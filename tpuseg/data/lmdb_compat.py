@@ -240,6 +240,11 @@ class LmdbReader:
                 child = lo | (hi << 16) | (nflags << 32)
                 self._walk(child, depth + 1)
                 continue
+            # bound the key (and any trailing overflow pgno) to THIS page: a
+            # corrupt ksize would otherwise silently read the neighboring
+            # page's bytes instead of raising (review r3)
+            if koff + ksize + 8 * bool(nflags & F_BIGDATA) > off + self._psize:
+                raise IOError(f"lmdb: key runs off page {pgno} in {self._path}")
             key = bytes(mm[koff:koff + ksize])
             dsize = lo | (hi << 16)
             if nflags & (F_SUBDATA | F_DUPDATA):
@@ -343,9 +348,21 @@ class LmdbWriter:
             key = key.encode("ascii")
         if not key or len(key) > 511:  # MDB_MAXKEYSIZE default
             raise ValueError(f"lmdb: key length {len(key)} outside 1..511")
+        # a key whose leaf node cannot fit even an empty page would only
+        # blow up at close() deep in the page packer (review r3); liblmdb
+        # enforces the same limit per page size at put time
+        node = NODESIZE + len(key) + 8  # worst case: F_BIGDATA pgno payload
+        if node > self._psize - PAGEHDRSZ - 2:
+            raise ValueError(
+                f"lmdb: key length {len(key)} too large for page size "
+                f"{self._psize}")
+        if len(value) > 0xFFFFFFFF:
+            # the node header stores dsize in 32 bits; liblmdb rejects
+            # bigger values too — silently masking corrupted the database
+            raise ValueError(f"lmdb: value length {len(value)} exceeds 4 GiB")
         value = bytes(value)
-        if key in self._items:  # last write wins, like mdb_put
-            pass  # the old spill bytes become dead space in the temp file
+        # duplicate keys: last write wins, like mdb_put (the old spill bytes
+        # become dead space in the temp file)
         self._spill.write(value)
         self._items[key] = (self._spill_pos, len(value))
         self._spill_pos += len(value)
@@ -450,11 +467,14 @@ class LmdbWriter:
                 if nflags & F_BIGDATA:
                     npages = (PAGEHDRSZ + dsize + psize - 1) // psize
                     first = next_pgno[0]
-                    blob = page_hdr(first, P_OVERFLOW,
-                                    npages & 0xFFFF, (npages >> 16) & 0xFFFF) + value
-                    blob += b"\0" * (npages * psize - len(blob))
-                    for i in range(npages):
-                        add_page(bytes(blob[i * psize:(i + 1) * psize]))
+                    # stream header, value, padding straight to the file —
+                    # assembling the chain as one blob then re-slicing it
+                    # copied every big value ~4x (review r3)
+                    out.write(page_hdr(first, P_OVERFLOW,
+                                       npages & 0xFFFF, (npages >> 16) & 0xFFFF))
+                    out.write(value)
+                    out.write(b"\0" * (npages * psize - PAGEHDRSZ - dsize))
+                    next_pgno[0] += npages
                     counts["overflow"] += npages
                     packed.append((key, struct.pack("<Q", first), dsize, nflags))
                 else:

@@ -209,11 +209,24 @@ def train_model(config: TrainConfig) -> TrainResult:
                  dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
     rng = jax.random.PRNGKey(_device_seed(cfg.seed))
     state = create_train_state(model, rng, number_channels, cfg.learning_rate)
+    resumed = False
+    resumed_history: List[float] = []
     if cfg.resume_checkpoint:
         from tpuseg.utils.checkpoint import restore_train_state
 
         state = restore_train_state(cfg.resume_checkpoint, state)
+        resumed = int(state.step) > 0
         print(f"Resumed training state from {cfg.resume_checkpoint} at step {int(state.step)}")
+        # Resume the test-loss history too (test_loss.csv is rewritten every
+        # epoch in the output dir): without it the first post-resume epoch
+        # is a singleton history whose argmin is trivially itself, so it
+        # would overwrite the stored best checkpoint even with a WORSE loss
+        # — and early stopping would forget how stale the best is (review r3)
+        hist_fp = os.path.join(cfg.output_folder, "test_loss.csv")
+        if os.path.exists(hist_fp):
+            with open(hist_fp) as f:
+                resumed_history = [float(line) for line in f if line.strip()]
+            print(f"Resumed test-loss history: {len(resumed_history)} epochs")
     if raw:
         from tpuseg.aug.device import DeviceAugmentParams
 
@@ -243,7 +256,7 @@ def train_model(config: TrainConfig) -> TrainResult:
     train_epoch_size = cfg.test_every_n_steps  # train.py:99
     test_epoch_size = test_reader.get_image_count() / cfg.batch_size  # train.py:100
 
-    test_loss: List[float] = []
+    test_loss: List[float] = list(resumed_history)
     train_writer, test_writer = _summary_writers(cfg.output_folder)
     profile_ctx = None
 
@@ -256,7 +269,9 @@ def train_model(config: TrainConfig) -> TrainResult:
         # global batch on a single host)
         train_iter = device_prefetch(train_reader.batches(local_batch_size), data_sharding)
 
-        epoch = 0
+        # resumed runs continue the epoch numbering and skip the lr/10
+        # warmup epoch — the restored optimizer is already warm
+        epoch = len(resumed_history)
         best_epoch = 0
         final_train_loss = float("nan")
         ckpt_writer = AsyncCheckpointWriter()
@@ -264,7 +279,7 @@ def train_model(config: TrainConfig) -> TrainResult:
         print("Running Network")
         while True:
             print(f"---- Epoch: {epoch} ----")
-            if epoch == 0:
+            if epoch == 0 and not resumed:
                 cur_train_epoch_size = min(cfg.warmup_steps_cap, train_epoch_size)
                 print(f"Performing Adam Optimizer learning rate warmup for {cur_train_epoch_size} steps")
                 state = state.replace(lr=jnp.asarray(cfg.learning_rate / 10, jnp.float32))
@@ -376,17 +391,26 @@ def train_model(config: TrainConfig) -> TrainResult:
             print(f"Epoch took: {time.time() - start_time} s")
 
             # checkpoint-on-best (train.py:181-184), written in the background
-            # so the device keeps training through the host transfer
-            if (len(test_loss) - 1) == int(np.argmin(test_loss)):
-                print(f"Test loss improved: {np.min(test_loss)}, saving checkpoint")
+            # so the device keeps training through the host transfer.
+            # NaN guard (intentional divergence): np.argmin selects a NaN,
+            # so a diverged epoch would both OVERWRITE the stored best
+            # checkpoint and then crash the selection below — a non-finite
+            # loss never saves and never counts as best (review r3)
+            if (np.isfinite(test_loss[-1])
+                    and (len(test_loss) - 1) == int(np.nanargmin(test_loss))):
+                print(f"Test loss improved: {np.nanmin(test_loss)}, saving checkpoint")
                 ckpt_writer.save(checkpoint_path, state)
 
             # early stopping (train.py:187-199)
             print("Best Current Epoch Selection:")
             print("Test Loss:")
             print(test_loss)
-            min_test_loss = np.min(test_loss)
+            if not np.isfinite(test_loss).any():
+                raise RuntimeError(
+                    "training diverged: every test loss is non-finite")
+            min_test_loss = np.nanmin(test_loss)
             error_from_best = np.abs(np.asarray(test_loss) - min_test_loss)
+            error_from_best[~np.isfinite(error_from_best)] = np.inf
             error_from_best[error_from_best < CONVERGENCE_TOLERANCE] = 0
             best_epoch = int(np.where(error_from_best == 0)[0][0])
             print(f"Best epoch: {best_epoch}")
@@ -397,22 +421,28 @@ def train_model(config: TrainConfig) -> TrainResult:
                 break
             epoch += 1
     finally:
-        if profile_ctx is not None:
-            profile_ctx.__exit__(None, None, None)
+        # reader shutdown must be unconditional: the forkserver workers are
+        # non-daemon and loop forever, so skipping it (e.g. because
+        # ckpt_writer.wait re-raised a failed background write) hangs the
+        # process in multiprocessing's atexit join (review r3)
         try:
-            ckpt_writer.wait()  # flush any in-flight checkpoint write
-        except NameError:
-            pass
-        try:
-            train_iter.close()
-        except NameError:
-            pass
-        print("Shutting down train_reader")
-        train_reader.shutdown()
-        print("Shutting down test_reader")
-        test_reader.shutdown()
-        train_writer.close()
-        test_writer.close()
+            if profile_ctx is not None:
+                profile_ctx.__exit__(None, None, None)
+            try:
+                ckpt_writer.wait()  # flush any in-flight checkpoint write
+            except NameError:
+                pass
+            try:
+                train_iter.close()
+            except NameError:
+                pass
+        finally:
+            print("Shutting down train_reader")
+            train_reader.shutdown()
+            print("Shutting down test_reader")
+            test_reader.shutdown()
+            train_writer.close()
+            test_writer.close()
 
     return TrainResult(
         test_loss=test_loss,
