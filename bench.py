@@ -79,9 +79,6 @@ def _build_bench_db(root: str, records: int = 64, hw: int = 512) -> str:
     from tpuseg.data.recordstore import RecordWriter
 
     db = f"{root}/train-bench.lmdb"
-    import os
-
-    os.makedirs(db, exist_ok=True)
     rng = np.random.default_rng(0)
     writer = RecordWriter(db)
     try:
@@ -128,6 +125,20 @@ def bench_e2e():
             # (a) host pipeline rate: drain stacked raw batches, no device
             host_iter = reader.batches(batch)
             next(host_iter)  # let workers spin up before timing
+
+            def drain_backlog(it):
+                # empty the standing queue first: the workers pre-fill up to
+                # maxOutQSize samples while the consumer is busy (compiles),
+                # and a timed window smaller than that backlog measures pure
+                # queue drain, not sustained production (review r3). Bounded
+                # at one queue's worth: if producers keep it full against a
+                # flat-out consumer, the host isn't the bottleneck at all.
+                for _ in range(reader.maxOutQSize // batch + 1):
+                    if reader.get_queue_size() <= batch:
+                        return
+                    next(it)
+
+            drain_backlog(host_iter)
             t0 = time.perf_counter()
             for _ in range(steps):
                 next(host_iter)
@@ -144,6 +155,7 @@ def bench_e2e():
             imgs, msks = next(it)
             state, m = tstep(state, imgs, msks)  # compile
             float(m["loss"])
+            drain_backlog(it)  # the compile window refilled the queue
             t0 = time.perf_counter()
             for _ in range(steps):
                 imgs, msks = next(it)
@@ -228,8 +240,13 @@ def bench_infer():
     # int8 PTQ serving path (infer/quant.py): same tiled engine, quantized
     # predict_fn, calibrated on a central crop of the same image
     from tpuseg.infer.quant import quantized_predict_from_checkpoint
+
+    # whole-image stats applied to the crop, exactly as the runner
+    # calibrates — including the std<=1 mean-shift-only guard
+    # (imagereader.py:44-49) the hand-rolled division skipped (review r3)
     mean, std = stats
-    crop = (img[1792:2304, 1792:2304].astype("float32") - mean) / std
+    safe_std = np.where(np.asarray(std) <= 1.0, 1.0, std)
+    crop = (img[1792:2304, 1792:2304].astype("float32") - mean) / safe_std
     qpredict = quantized_predict_from_checkpoint(model, variables, [crop])
     dt_int8 = time_dev(auto_tile, qpredict)
 
@@ -293,22 +310,29 @@ def main(hw: int = 512, batch: int = 8):
     }))
 
 
-def _cli_int(flag: str, default: int) -> int:
-    if flag not in sys.argv:
-        return default
-    i = sys.argv.index(flag)
-    if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
-        sys.exit(f"bench.py: {flag} requires an integer value")
-    try:
-        return int(sys.argv[i + 1])
-    except ValueError:
-        sys.exit(f"bench.py: {flag} requires an integer value, "
-                 f"got {sys.argv[i + 1]!r}")
-
-
 if __name__ == "__main__":
-    if "--e2e" in sys.argv:
+    # argparse, not hand-rolled token scans: '--hw=1024', repeated flags,
+    # and typos ('--batvh 16') used to be silently ignored, benching a
+    # different geometry than requested (review r3)
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="bench.py", description="tpuseg benchmark driver")
+    parser.add_argument("--e2e", action="store_true",
+                        help="input pipeline: readers -> prefetch -> device")
+    parser.add_argument("--infer", action="store_true",
+                        help="tiled inference MP/s (fp, auto-tile, int8)")
+    parser.add_argument("--hw", type=int, default=512,
+                        help="square tile size for the training bench")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="per-chip batch size for the training bench")
+    args = parser.parse_args()
+    if args.e2e and args.infer:
+        parser.error("--e2e and --infer are mutually exclusive")
+    if (args.e2e or args.infer) and (args.hw != 512 or args.batch != 8):
+        parser.error("--hw/--batch only apply to the training bench")
+    if args.e2e:
         sys.exit(bench_e2e())
-    if "--infer" in sys.argv:
+    if args.infer:
         sys.exit(bench_infer())
-    sys.exit(main(hw=_cli_int("--hw", 512), batch=_cli_int("--batch", 8)))
+    sys.exit(main(hw=args.hw, batch=args.batch))

@@ -21,20 +21,20 @@ def test_throughput_fields_reproduce_roofline():
     assert abs(f["mfu"] - 0.49) < 0.01
 
 
-def test_cli_int_rejects_missing_or_bad_values(monkeypatch):
-    """--hw with no value (or an adjacent flag) exits with a usage message
-    instead of IndexError/silent misparse (review r3)."""
-    import pytest
+def test_cli_strict_parsing():
+    """The bench CLI rejects typos, =-form errors, and bad values instead of
+    silently running a different geometry (review r3: the hand-rolled token
+    scan ignored '--hw=1024' and unknown flags entirely)."""
+    import subprocess
+    import sys
 
-    monkeypatch.setattr("sys.argv", ["bench.py", "--hw", "1024"])
-    assert bench._cli_int("--hw", 512) == 1024
-    assert bench._cli_int("--batch", 8) == 8  # absent -> default
-    monkeypatch.setattr("sys.argv", ["bench.py", "--hw"])
-    with pytest.raises(SystemExit, match="requires an integer"):
-        bench._cli_int("--hw", 512)
-    monkeypatch.setattr("sys.argv", ["bench.py", "--batch", "--hw", "1024"])
-    with pytest.raises(SystemExit, match="requires an integer"):
-        bench._cli_int("--batch", 8)
-    monkeypatch.setattr("sys.argv", ["bench.py", "--hw", "big"])
-    with pytest.raises(SystemExit, match="requires an integer"):
-        bench._cli_int("--hw", 512)
+    def run(*args):
+        return subprocess.run([sys.executable, "bench.py", *args],
+                              capture_output=True, text=True, timeout=60)
+
+    assert run("--batvh", "16").returncode != 0
+    assert run("--hw=abc").returncode != 0
+    assert run("--hw").returncode != 0
+    assert run("--e2e", "--hw", "1024").returncode != 0  # scope error
+    out = run("--help")
+    assert out.returncode == 0 and "--batch" in out.stdout

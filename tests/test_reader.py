@@ -241,3 +241,37 @@ def test_balanced_all_empty_classes_rejected(tmp_path):
     w.close()
     with pytest.raises(IOError, match="has any examples"):
         ImageReader(d, balance_classes=True, number_classes=2)
+
+
+def test_strided_walk_partitions_when_stride_shares_factor(tmp_path):
+    """N=6 keys, 4 global workers (gcd(4,6)=2): the old mod-wrap drifted
+    workers onto shared cosets, duplicating keys across the fleet and never
+    visiting others; the restart walk is a true partition (review r3)."""
+    from tpuseg.data.build_db import serialize_image_mask_pair
+    from tpuseg.data.recordstore import RecordWriter
+
+    db = str(tmp_path / "six.lmdb")
+    w = RecordWriter(db)
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        img = rng.integers(0, 4000, (16, 16, 1)).astype(np.uint16)
+        msk = (img[..., 0] > 2000).astype(np.uint8)
+        w.put(f"k{i}:0,1", serialize_image_mask_pair(img, msk))
+    w.close()
+
+    streams = {}
+    for p in range(2):
+        for wk in range(2):
+            streams[(p, wk)] = _simulate_worker_indices(
+                db, process_index=p, process_count=2, num_workers=2,
+                worker_id=wk, n=6, shuffle=False)
+    # each global worker t owns {i : i == t mod 4} within [0, 6) and replays
+    # its own subsequence — never another worker's keys
+    assert streams[(0, 0)] == [0, 4, 0, 4, 0, 4]
+    assert streams[(0, 1)] == [1, 5, 1, 5, 1, 5]
+    assert streams[(1, 0)] == [2, 2, 2, 2, 2, 2]
+    assert streams[(1, 1)] == [3, 3, 3, 3, 3, 3]
+    covered = set()
+    for s in streams.values():
+        covered.update(s)
+    assert covered == set(range(6))  # every key is visited by exactly one worker

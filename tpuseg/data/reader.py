@@ -12,12 +12,15 @@ Sampling policies (imagereader.py:209-243):
 - shuffle + balance_classes: uniform class draw (re-drawn while a class has
   no examples), then uniform member of that class;
 - shuffle only: uniform over all keys;
-- no shuffle: deterministic worker-strided walk, ``key_idx += total_workers
-  (mod N)`` starting at the worker's *global* id — the reference's
-  worker-level interleave (imagereader.py:239-241) generalized to hosts:
-  worker w on host p starts at ``p*num_workers + w`` and strides by
-  ``num_workers * process_count``, so the fleet partitions the key space
-  across every worker of every host.
+- no shuffle: deterministic worker-strided walk starting at the worker's
+  *global* id — the reference's worker-level interleave
+  (imagereader.py:239-241) generalized to hosts: worker w on host p owns
+  exactly the indices ``i == p*num_workers + w (mod total_workers)`` and
+  restarts its own subsequence at its end. (Deliberate divergence: the
+  reference wraps ``key_idx % N``, which drifts workers onto shared
+  gcd(total_workers, N) cosets whenever the worker count does not divide
+  the key count — duplicating some keys across workers and never visiting
+  others; the restart walk is a true partition.)
 
 Multi-host: pass ``process_index``/``process_count`` (the trainer wires
 ``jax.process_index()``/``jax.process_count()``). Worker RNG seeds fold in
@@ -101,7 +104,6 @@ class ImageReader:
         self.queue_starvation = False
         self.maxOutQSize = num_workers * queue_depth_per_worker
         self.workers: Optional[list] = None
-        self.done = False
 
         # forkserver, not fork: the parent runs JAX/TensorBoard/orbax threads,
         # and forking a threaded process can hand the child a locked mutex
@@ -110,15 +112,18 @@ class ImageReader:
         # inherit no locks; and unlike 'spawn', children unpickle this module
         # rather than re-importing __main__, so unguarded user scripts don't
         # re-execute. Worker imports are jax-free => ~1s startup.
+        # Queues are created by startup() (fresh ones per run); placeholders
+        # here only make pre-startup misuse fail with a clear None error.
         self._mp = multiprocessing.get_context("forkserver")
-        self.terminateQ = self._mp.Queue(maxsize=self.nb_workers)
-        self.outQ = self._mp.Queue(maxsize=self.maxOutQSize)
-        self.idQ = self._mp.Queue(maxsize=self.nb_workers)
+        self.terminateQ = None
+        self.outQ = None
+        self.idQ = None
 
         # probe the database: image geometry, %16 contract, key index
         store = RecordReader(self.image_db)
         try:
             self.keys_flat: List[bytes] = store.keys()
+            self.num_keys = len(self.keys_flat)
             if not self.keys_flat:
                 raise IOError(f"empty database: {img_db}")
             img, _ = deserialize_image_mask_pair(store.get_at(0))
@@ -160,7 +165,7 @@ class ImageReader:
     # --- geometry accessors (imagereader.py:161-173) ---
 
     def get_image_count(self) -> int:
-        return len(self.keys_flat)
+        return self.num_keys
 
     def get_image_size(self):
         return self.image_size
@@ -177,16 +182,28 @@ class ImageReader:
 
     def __getstate__(self):
         """Spawned workers pickle this object as the Process target; the
-        process handles and mp context stay behind."""
+        process handles and mp context stay behind. Non-balanced workers
+        never look keys up by value, so the key lists stay behind too —
+        shipping a large database's full key space through the forkserver
+        once per worker was pure startup IPC (review r3)."""
         state = self.__dict__.copy()
         state["workers"] = None
         state["_mp"] = None
         state.pop("_key_pos_cache", None)
+        if not self.balance_classes:
+            state["keys_flat"] = []
+            state["keys"] = [[]]
         return state
 
     def startup(self) -> None:
+        if self.workers:
+            # a second startup would orphan the first worker set (rebound
+            # self.workers, replaced queues): unreachable live processes
+            # that hang interpreter exit (review r3)
+            raise RuntimeError(
+                "ImageReader.startup() called while workers are running; "
+                "call shutdown() first")
         self.workers = None
-        self.done = False
         # fresh queues every run: after a shutdown the old outQ still holds
         # the workers' final None sentinels (and possibly stale batches), and
         # terminateQ may hold unconsumed stop tokens — either would end or
@@ -249,10 +266,15 @@ class ImageReader:
                         raise
                 key = self.keys[label_idx][rng.randint(0, nb_examples - 1)]
                 return self._key_pos[key]
-            return rng.randint(0, len(self.keys_flat) - 1)
+            return rng.randint(0, self.num_keys - 1)
         idx = self.key_idx
-        total_workers = self.nb_workers * self.process_count
-        self.key_idx = (self.key_idx + total_workers) % len(self.keys_flat)
+        # restart, don't mod-wrap: ``(idx + T) % N`` drifts workers onto
+        # shared gcd(T, N) cosets whenever T does not divide N — duplicating
+        # keys across the fleet and never visiting others (review r3); each
+        # worker owns exactly its residue class and replays it
+        self.key_idx += self.nb_workers * self.process_count
+        if self.key_idx >= self.num_keys:
+            self.key_idx = self._walk_start
         return idx
 
     def _init_worker_sampling(self, worker_id: int):
@@ -266,7 +288,8 @@ class ImageReader:
         global_worker_id = self.process_index * self.nb_workers + worker_id
         # wrapped so more workers than records is safe (the reference indexes
         # keys_flat[worker_id] raw, imagereader.py:247, and crashes there)
-        self.key_idx = global_worker_id % len(self.keys_flat)
+        self._walk_start = global_worker_id % self.num_keys
+        self.key_idx = self._walk_start
         seed = None if self.seed is None else self.seed + global_worker_id
         return random.Random(seed), np.random.default_rng(seed)
 
@@ -317,10 +340,15 @@ class ImageReader:
                         rng=nprng,
                     )
 
-                img = img.transpose((2, 0, 1)).astype(np.float32)  # HWC -> CHW
-                img = zscore_normalize(img)
                 if self.layout == "nhwc":
-                    img = img.transpose((1, 2, 0))
+                    # normalize in HWC directly (per-channel stats are
+                    # layout-independent) — the old CHW round trip paid two
+                    # full-image transposed copies per sample (review r3)
+                    img = zscore_normalize(img.astype(np.float32),
+                                           channels_first=False)
+                else:
+                    img = zscore_normalize(
+                        img.transpose((2, 0, 1)).astype(np.float32))
                 oh = one_hot_labels(msk.astype(np.int32), self.nb_classes)
                 self.outQ.put((img, oh))
         except Exception as e:
