@@ -5,6 +5,10 @@
 #
 # Usage under Slurm:   sbatch --ntasks=1 --cpus-per-task=96 batch_train.sh
 # Usage standalone:    ./batch_train.sh
+#
+# The script never cd's: relative TRAIN/TEST_DATABASE and OUTPUT_DIR resolve
+# against the caller's cwd for their whole lifetime (a mid-script cd used to
+# split outputs across two directories and lose log.txt).
 set -euo pipefail
 
 TRAIN_DATABASE="${TRAIN_DATABASE:?set TRAIN_DATABASE}"
@@ -15,17 +19,21 @@ READER_COUNT="${READER_COUNT:-2}"       # per chip
 
 mkdir -p "${OUTPUT_DIR}"
 
-# exit cleanly if the scheduler sends TERM (reference sbatch_train.sh:40-47)
-trap 'echo "TERM received, exiting"; exit 0' TERM
+# Exit on scheduler TERM (reference sbatch_train.sh:40-47) — but with a
+# nonzero status: reporting a preempted half-finished run as COMPLETED lets
+# afterok-dependent jobs consume a checkpoint from an unfinished run.
+trap 'echo "TERM received, exiting"; exit 143' TERM
 
-# stage databases to node-local scratch when available (sbatch_train.sh:59-66)
+# stage databases to node-local scratch when available (sbatch_train.sh:59-66);
+# distinct train/ and test/ subdirs: same-basename databases used to merge
+# into one staged copy, silently testing on the training data
 if [[ -n "${SLURM_JOB_ID:-}" && -d /scratch ]]; then
   SCRATCH="/scratch/${SLURM_JOB_ID}"
-  mkdir -p "${SCRATCH}"
-  cp -r "${TRAIN_DATABASE}" "${SCRATCH}/"
-  cp -r "${TEST_DATABASE}" "${SCRATCH}/"
-  TRAIN_DATABASE="${SCRATCH}/$(basename "${TRAIN_DATABASE}")"
-  TEST_DATABASE="${SCRATCH}/$(basename "${TEST_DATABASE}")"
+  mkdir -p "${SCRATCH}/train" "${SCRATCH}/test"
+  cp -r "${TRAIN_DATABASE}" "${SCRATCH}/train/"
+  cp -r "${TEST_DATABASE}" "${SCRATCH}/test/"
+  TRAIN_DATABASE="${SCRATCH}/train/$(basename "${TRAIN_DATABASE}")"
+  TEST_DATABASE="${SCRATCH}/test/$(basename "${TEST_DATABASE}")"
 fi
 
 # snapshot the source into the results dir for reproducibility (sbatch_train.sh:72-73)
@@ -33,7 +41,7 @@ REPO_DIR="$(cd "$(dirname "$0")/.." && pwd)"
 git -C "${REPO_DIR}" rev-parse HEAD > "${OUTPUT_DIR}/git_commit.txt" 2>/dev/null || true
 tar -C "${REPO_DIR}" -czf "${OUTPUT_DIR}/source_snapshot.tar.gz" tpuseg scripts 2>/dev/null || true
 
-cd "${REPO_DIR}"
+export PYTHONPATH="${REPO_DIR}${PYTHONPATH:+:${PYTHONPATH}}"
 python -m tpuseg.cli.train \
   --train_database "${TRAIN_DATABASE}" \
   --test_database "${TEST_DATABASE}" \

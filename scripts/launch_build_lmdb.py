@@ -1,5 +1,9 @@
 """Programmatic launcher (reference UNet/launch_build_lmdb.py role)."""
 
+from tpuseg.utils.compile_cache import enable as _enable_cache
+_enable_cache()  # persistent XLA cache + JAX_PLATFORMS honoring, like the CLIs
+
+
 from tpuseg.data.build_db import build_databases
 
 image_folder = "../data/images"

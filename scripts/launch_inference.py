@@ -1,5 +1,9 @@
 """Programmatic launcher (reference UNet/launch_inference.py role)."""
 
+from tpuseg.utils.compile_cache import enable as _enable_cache
+_enable_cache()  # persistent XLA cache + JAX_PLATFORMS honoring, like the CLIs
+
+
 from tpuseg.infer.runner import InferenceConfig, inference
 
 checkpoint_filepath = "../output/checkpoint/ckpt"

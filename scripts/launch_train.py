@@ -2,6 +2,10 @@
 constants, run the file. Prefer the CLI (python -m tpuseg.cli.train) for
 scripted use."""
 
+from tpuseg.utils.compile_cache import enable as _enable_cache
+_enable_cache()  # persistent XLA cache + JAX_PLATFORMS honoring, like the CLIs
+
+
 from tpuseg.train.trainer import TrainConfig, train_model
 
 train_database = "../data/train-HES.lmdb"

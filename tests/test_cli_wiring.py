@@ -150,3 +150,32 @@ def test_platform_env_honored_via_config_api():
         env=env, cwd=repo, capture_output=True, text=True, timeout=120)
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().endswith("cpu"), out.stdout
+
+
+def test_evaluate_cli_exits_zero(tmp_path, monkeypatch, capsys):
+    """Console scripts sys.exit(main()): returning the metrics dict made
+    every successful evaluation exit 1 (review r3)."""
+    from tpuseg.cli import evaluate as ev
+
+    monkeypatch.setattr("tpuseg.ops.metrics.evaluate_folder",
+                        lambda *a, **k: {"mean_iou": 0.9})
+    monkeypatch.setattr(ev, "evaluate_folder",
+                        lambda *a, **k: {"mean_iou": 0.9}, raising=False)
+    rc = ev.main(["--pred_folder", str(tmp_path), "--truth_folder",
+                  str(tmp_path), "--number_classes", "2"])
+    assert rc == 0
+    assert "mean_iou" in capsys.readouterr().out
+
+
+def test_inference_cli_base_features(monkeypatch):
+    """--base_features reaches InferenceConfig (non-64 reference imports
+    could not be served without it — review r3)."""
+    from tpuseg.cli import inference as inf
+
+    captured = {}
+    monkeypatch.setattr(inf, "inference",
+                        lambda cfg: (captured.setdefault("cfg", cfg), [])[1])
+    inf.main(["--checkpoint_filepath", "c", "--image_folder", "i",
+              "--output_folder", "o", "--number_classes", "2",
+              "--number_channels", "1", "--base_features", "32"])
+    assert captured["cfg"].base_features == 32

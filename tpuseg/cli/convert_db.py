@@ -26,10 +26,12 @@ def convert(input_db: str, output_db: str, fmt: str) -> int:
     if os.path.exists(output_db) and (
             not os.path.isdir(output_db) or os.listdir(output_db)):
         raise IOError(f"output database already exists and is not empty: {output_db}")
+    pre_existing_dir = os.path.isdir(output_db)  # user-supplied empty dir
     reader = RecordReader(input_db)
     try:
-        writer = LmdbWriter(output_db) if fmt == "lmdb" else RecordWriter(output_db)
+        writer = None
         try:
+            writer = LmdbWriter(output_db) if fmt == "lmdb" else RecordWriter(output_db)
             keys = reader.keys()
             for i, key in enumerate(keys):
                 writer.put(key, reader.get_at(i))
@@ -38,10 +40,22 @@ def convert(input_db: str, output_db: str, fmt: str) -> int:
             # abort, don't commit: close() finalizes a valid-looking
             # database holding only the records copied so far — a silently
             # truncated dataset that would train without error
+            if writer is not None:
+                try:
+                    writer.abort()
+                except Exception:
+                    pass  # cleanup failure must not mask the root cause
+            # remove only what WE created: a pre-existing (empty) output
+            # directory may be the user's mount point / prepared dir
             try:
-                writer.abort()
-            finally:
-                shutil.rmtree(output_db, ignore_errors=True)
+                if pre_existing_dir:
+                    for name in os.listdir(output_db):
+                        p = os.path.join(output_db, name)
+                        (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+                else:
+                    shutil.rmtree(output_db, ignore_errors=True)
+            except OSError:
+                pass  # best-effort cleanup; the root cause propagates
             raise
         count = len(keys)
     finally:

@@ -27,7 +27,9 @@ def main(argv=None):
 
     result = evaluate_folder(args.pred_folder, args.truth_folder, args.number_classes)
     print(json.dumps(result, indent=2))
-    return result
+    # console scripts do sys.exit(main()): returning the (truthy) dict made
+    # every successful evaluation exit with status 1 (review r3)
+    return 0
 
 
 if __name__ == "__main__":

@@ -34,10 +34,12 @@ def main(argv=None):
         args.tf_checkpoint, args.output_folder, args.learning_rate)
     print(f"Imported reference checkpoint: {geometry}")
     print(f"tpuseg checkpoint written to {args.output_folder}")
+    bf = geometry.get("base_features", 64)
+    bf_flag = f"--base_features {bf} " if bf != 64 else ""
     print("Serve it with: python -m tpuseg.cli.inference "
           f"--checkpoint_filepath {args.output_folder} "
           f"--number_classes {geometry['number_classes']} "
-          f"--number_channels {geometry['number_channels']} ...")
+          f"--number_channels {geometry['number_channels']} {bf_flag}...")
 
 
 if __name__ == "__main__":

@@ -39,6 +39,10 @@ def main(argv=None):
     parser.add_argument("--dtype", dest="dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"],
                         help="on-device compute dtype (tpuseg extension)")
+    parser.add_argument("--base_features", dest="base_features", type=int, default=64,
+                        help="first-level feature depth the checkpoint was built "
+                             "with (tpuseg extension; import_checkpoint prints it "
+                             "for non-64 reference models)")
     parser.add_argument("--no_data_parallel", dest="data_parallel", action="store_false",
                         help="disable sharding the tile grid over local devices "
                              "(tpuseg extension; sharding is on by default)")
@@ -81,6 +85,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         radius=args.radius,
         dtype=args.dtype,
+        base_features=args.base_features,
         data_parallel=args.data_parallel,
         streaming=args.streaming,
         read_ahead=args.read_ahead,
