@@ -15,7 +15,10 @@ if [[ "${TPU:-0}" == "1" ]]; then
 else
   pip install jax
 fi
-pip install flax optax orbax-checkpoint numpy scipy protobuf imageio tensorboardX pytest
+# opencv-python backs the imread fallback for formats imageio's plugins
+# miss (tpuseg/utils/imagio.py); optional at runtime, installed by default
+pip install flax optax orbax-checkpoint numpy scipy protobuf imageio \
+    opencv-python tensorboardX pytest
 
 # native record store
 make -C "$(dirname "$0")/../native"
