@@ -1,0 +1,137 @@
+"""TRUE multi-process multi-host integration: two OS processes, each with 2
+virtual CPU devices, joined via jax.distributed (Gloo collectives), running
+the full train_model loop. The monkeypatched multi-host unit tests
+(test_distributed.py, test_reader.py) pin the per-piece logic; this pins the
+real wiring — jax.distributed.initialize, make_hybrid_mesh over 2 processes,
+make_array_from_process_local_data batch assembly, per-host reader
+partitioning, and process-0-scoped artifact writes (the r2 data-duplication
+bug and the r3 orbax-barrier deadlock both lived in exactly this gap)."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+CHILD = textwrap.dedent("""
+    import sys
+
+    # the __main__ guard is load-bearing: ImageReader's forkserver workers
+    # re-import __main__, and an unguarded jax.distributed.initialize here
+    # re-registers this task id with a new incarnation, aborting the fleet
+    if __name__ == "__main__":
+        proc_id = int(sys.argv[1]); port = sys.argv[2]
+        train_db, test_db, out = sys.argv[3:6]
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        from tpuseg.utils.compile_cache import enable
+        enable()
+        jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                                   num_processes=2, process_id=proc_id)
+        from tpuseg.train.trainer import TrainConfig, train_model
+        result = train_model(TrainConfig(
+            train_database=train_db, test_database=test_db, output_folder=out,
+            batch_size=1, test_every_n_steps=2, early_stopping_count=1,
+            use_augmentation=False, max_epochs=2, dtype="float32",
+            base_features=2, seed=0, device_augment=False))
+        print("RESULT", proc_id, result.epochs_run,
+              ",".join(f"{v:.6f}" for v in result.test_loss))
+""")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def dbs(tmp_path_factory):
+    from tpuseg.data.build_db import serialize_image_mask_pair
+    from tpuseg.data.recordstore import RecordWriter
+
+    root = tmp_path_factory.mktemp("mh")
+    rng = np.random.default_rng(0)
+
+    def make(path, n):
+        w = RecordWriter(str(path))
+        for i in range(n):
+            img = rng.normal(500, 100, (32, 32, 1)).astype(np.uint16)
+            msk = (img[..., 0] > 500).astype(np.uint8)
+            classes = ",".join(str(c) for c in np.unique(msk))
+            w.put(f"img{i:03d}:{classes}", serialize_image_mask_pair(img, msk))
+        w.close()
+        return str(path)
+
+    return make(root / "train-mh.lmdb", 16), make(root / "test-mh.lmdb", 8)
+
+
+def _launch(script, port, train_db, test_db, out):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = str(Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = repo + (os.pathsep + env["PYTHONPATH"]
+                                if env.get("PYTHONPATH") else "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port), train_db, test_db, out],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            stdout, stderr = p.communicate(timeout=600)
+            outs.append((p.returncode, stdout, stderr))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return outs
+
+
+def test_two_process_train_model(dbs, tmp_path):
+    import jax
+
+    if not hasattr(jax.config, "jax_cpu_collectives_implementation"):
+        pytest.skip("this jax has no CPU cross-process collectives")
+
+    train_db, test_db = dbs
+    script = tmp_path / "child.py"
+    script.write_text(CHILD)
+
+    # one retry: a completely cold persistent compile cache can skew the two
+    # processes' first compiles past the Gloo rendezvous window before the
+    # warm-up collective itself is compiled; the failed attempt fills the
+    # cache, so the retry runs in lockstep
+    for attempt in range(2):
+        out = str(tmp_path / f"out{attempt}")
+        outs = _launch(script, _free_port(), train_db, test_db, out)
+        if all(rc == 0 for rc, _, _ in outs):
+            break
+        print(f"attempt {attempt} failed:\n{outs[0][1][-1000:]}\n{outs[0][2][-2000:]}")
+
+    for rc, stdout, stderr in outs:
+        assert rc == 0, f"child failed:\n{stdout[-2000:]}\n{stderr[-4000:]}"
+        # real 2-process topology, not a monkeypatched one
+        assert "devices = 4 over 2 host(s), global_batch_size = 4" in stdout
+
+    # the loss is a global-batch reduction: both hosts must report the
+    # identical trajectory (divergence = desynced streams or broken psums)
+    results = [next(l for l in o[1].splitlines() if l.startswith("RESULT"))
+               for o in outs]
+    assert results[0].split()[2:] == results[1].split()[2:]
+
+    # artifacts written exactly once, by process 0 (trainer scopes
+    # checkpoint/TensorBoard/csv to process_index 0)
+    assert os.path.isdir(os.path.join(out, "checkpoint", "ckpt"))
+    assert os.path.exists(os.path.join(out, "test_loss.csv"))
+    tb = [d for d in os.listdir(out) if d.startswith("tensorboard-")]
+    assert len(tb) == 1

@@ -189,11 +189,65 @@ def make_parallel_raw_steps(model, mesh: Mesh, num_classes: int, aug_params=None
     return steps_lib.compose_raw_steps(split, aug, aug_eval, tstep_inner, estep_inner)
 
 
+def _put_global(tree, shardings):
+    """Place host-initialized leaves onto (possibly process-spanning)
+    shardings.
+
+    ``jax.device_put`` of an uncommitted host value whose sharding spans
+    every process allgathers the WHOLE value across processes to assert the
+    hosts passed identical data (jax dispatch.py `_device_put_sharding_impl`
+    → `multihost_utils.assert_equal`) — for a train state that is the entire
+    model shipped over DCN at startup, serialized before step one. State
+    init is deterministic per seed, so hosts agree by construction; building
+    each leaf from per-device local buffers (`make_array_from_callback`)
+    creates the same global array with zero cross-process traffic."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, s):
+        try:
+            host = np.asarray(x)
+        except TypeError:  # extended dtypes (typed PRNG keys): let jax check
+            return jax.device_put(x, s)
+        return jax.make_array_from_callback(host.shape, s,
+                                            lambda idx: host[idx])
+
+    return jax.tree.map(put, tree, shardings)
+
+
+def warm_collectives(mesh: Mesh) -> None:
+    """Establish the mesh's cross-process communicator before the first
+    expensive-to-compile program needs it.
+
+    Communicator rendezvous has a finite window (XLA:CPU gloo ~30s; ICI
+    channel setup is likewise bounded), while first-compile of the train
+    step takes minutes and is NOT synchronized across hosts (per-host
+    compile caches) — so without this, the fastest host launches step one
+    and times out its rendezvous while a peer is still compiling. One tiny
+    psum compiles in seconds on every host nearly simultaneously; the
+    communicator it establishes for this device clique is reused by every
+    later program on the mesh."""
+    if jax.process_count() == 1 or mesh.devices.size == 1:
+        return
+    import jax.numpy as jnp
+
+    n = mesh.devices.size
+    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    host = np.ones((n,), np.float32)
+    arr = jax.make_array_from_callback((n,), sh, lambda idx: host[idx])
+    out = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+    total = float(np.asarray(out.addressable_data(0)))  # sync: must have run
+    if total != float(n):
+        raise RuntimeError(
+            f"mesh warm-up psum returned {total}, expected {n}: "
+            "cross-process collectives are broken")
+
+
 def replicate_state(state, mesh: Mesh):
     """Place a host-initialized train state replicated across the mesh."""
     if mesh.devices.size == 1:
         return state
-    return jax.device_put(state, replicated(mesh))
+    return _put_global(state, jax.tree.map(lambda _: replicated(mesh), state))
 
 
 def shard_state(state, mesh: Mesh, shard_optimizer: bool = False):
@@ -201,4 +255,4 @@ def shard_state(state, mesh: Mesh, shard_optimizer: bool = False):
     optimizer moments sharded over 'data' (see optimizer_sharding)."""
     if mesh.devices.size == 1:
         return state
-    return jax.device_put(state, state_shardings(state, mesh, shard_optimizer))
+    return _put_global(state, state_shardings(state, mesh, shard_optimizer))

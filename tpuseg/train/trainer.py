@@ -251,6 +251,10 @@ def train_model(config: TrainConfig) -> TrainResult:
             shard_optimizer=cfg.shard_optimizer, state=state)
         data_sharding = mesh_lib.batch_sharding(mesh)
     state = mesh_lib.shard_state(state, mesh, shard_optimizer=cfg.shard_optimizer)
+    # multi-host: create the cross-process communicator NOW, while hosts are
+    # in lockstep — its rendezvous window is shorter than the (unsynchronized)
+    # first-step compile that would otherwise trigger it
+    mesh_lib.warm_collectives(mesh)
 
     checkpoint_path = os.path.join(cfg.output_folder, "checkpoint", "ckpt")
     train_epoch_size = cfg.test_every_n_steps  # train.py:99

@@ -20,6 +20,7 @@ import threading
 from typing import Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -54,7 +55,14 @@ def _gather_to_host(tree):
     def leaf(x):
         if getattr(x, "is_fully_addressable", True):
             return jax.device_get(x)
-        return multihost_utils.process_allgather(x)
+        if x.sharding.is_fully_replicated:
+            # every process already holds the full value: read the local
+            # copy. An allgather here is pure DCN waste — and
+            # process_allgather(tiled=False) rejects global arrays outright
+            # (ValueError), so replicated multi-host state could never save.
+            return np.asarray(x.addressable_data(0))
+        # genuinely cross-host-sharded (ZeRO-1 moments): collective assembly
+        return multihost_utils.process_allgather(x, tiled=True)
 
     return jax.tree.map(leaf, tree)
 
