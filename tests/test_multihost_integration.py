@@ -5,7 +5,9 @@ the full train_model loop. The monkeypatched multi-host unit tests
 real wiring — jax.distributed.initialize, make_hybrid_mesh over 2 processes,
 make_array_from_process_local_data batch assembly, per-host reader
 partitioning, and process-0-scoped artifact writes (the r2 data-duplication
-bug and the r3 orbax-barrier deadlock both lived in exactly this gap)."""
+bug and three r3 multi-host defects — the device_put startup allgather, the
+replicated-leaf checkpoint gather ValueError, and the communicator
+rendezvous-vs-compile-skew timeout — all lived in exactly this gap)."""
 
 import os
 import socket
@@ -26,6 +28,7 @@ CHILD = textwrap.dedent("""
     if __name__ == "__main__":
         proc_id = int(sys.argv[1]); port = sys.argv[2]
         train_db, test_db, out = sys.argv[3:6]
+        shard_opt = sys.argv[6] == "1"
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
@@ -38,9 +41,32 @@ CHILD = textwrap.dedent("""
             train_database=train_db, test_database=test_db, output_folder=out,
             batch_size=1, test_every_n_steps=2, early_stopping_count=1,
             use_augmentation=False, max_epochs=2, dtype="float32",
-            base_features=2, seed=0, device_augment=False))
+            base_features=2, seed=0, device_augment=False,
+            shard_optimizer=shard_opt))
         print("RESULT", proc_id, result.epochs_run,
               ",".join(f"{v:.6f}" for v in result.test_loss))
+
+        if proc_id == 0:
+            # the checkpoint must restore into a host-side template: with
+            # ZeRO-1 this exercises the tiled cross-host moment assembly
+            import os
+            import numpy as np
+            import jax.numpy as jnp
+            from tpuseg.models.unet import UNet
+            from tpuseg.train import steps
+            from tpuseg.utils.checkpoint import restore_train_state
+            model = UNet(num_classes=2, base_features=2, dtype=jnp.float32)
+            template = steps.create_train_state(
+                model, jax.random.PRNGKey(0), num_channels=1,
+                learning_rate=3e-4)
+            restored = restore_train_state(
+                os.path.join(out, "checkpoint", "ckpt"), template)
+            moments = np.concatenate([
+                np.ravel(np.asarray(x)) for x in jax.tree.leaves(restored.opt_state)
+                if np.ndim(x)])
+            assert np.isfinite(moments).all() and np.abs(moments).sum() > 0
+            print("RESTORED", int(restored.step),
+                  f"{float(np.abs(moments).sum()):.6f}")
 """)
 
 
@@ -71,7 +97,7 @@ def dbs(tmp_path_factory):
     return make(root / "train-mh.lmdb", 16), make(root / "test-mh.lmdb", 8)
 
 
-def _launch(script, port, train_db, test_db, out):
+def _launch(script, port, train_db, test_db, out, shard_opt):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["JAX_PLATFORMS"] = "cpu"
@@ -80,7 +106,8 @@ def _launch(script, port, train_db, test_db, out):
                                 if env.get("PYTHONPATH") else "")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), str(port), train_db, test_db, out],
+            [sys.executable, str(script), str(i), str(port),
+             train_db, test_db, out, "1" if shard_opt else "0"],
             env=env, cwd=repo,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(2)
@@ -97,7 +124,9 @@ def _launch(script, port, train_db, test_db, out):
     return outs
 
 
-def test_two_process_train_model(dbs, tmp_path):
+@pytest.mark.parametrize("shard_opt", [False, True],
+                         ids=["replicated", "zero1"])
+def test_two_process_train_model(dbs, tmp_path, shard_opt):
     import jax
 
     if not hasattr(jax.config, "jax_cpu_collectives_implementation"):
@@ -113,7 +142,7 @@ def test_two_process_train_model(dbs, tmp_path):
     # cache, so the retry runs in lockstep
     for attempt in range(2):
         out = str(tmp_path / f"out{attempt}")
-        outs = _launch(script, _free_port(), train_db, test_db, out)
+        outs = _launch(script, _free_port(), train_db, test_db, out, shard_opt)
         if all(rc == 0 for rc, _, _ in outs):
             break
         print(f"attempt {attempt} failed:\n{outs[0][1][-1000:]}\n{outs[0][2][-2000:]}")
@@ -128,6 +157,11 @@ def test_two_process_train_model(dbs, tmp_path):
     results = [next(l for l in o[1].splitlines() if l.startswith("RESULT"))
                for o in outs]
     assert results[0].split()[2:] == results[1].split()[2:]
+
+    # process 0 restored the checkpoint into a host template (with ZeRO-1
+    # that assembles the cross-host-sharded Adam moments) and verified the
+    # moments are finite and non-trivial
+    assert any(l.startswith("RESTORED") for l in outs[0][1].splitlines())
 
     # artifacts written exactly once, by process 0 (trainer scopes
     # checkpoint/TensorBoard/csv to process_index 0)

@@ -169,10 +169,28 @@ class AsyncCheckpointWriter:
             raise RuntimeError("background checkpoint write failed") from error
 
 
+def _reader():
+    """An orbax checkpointer for host-local restores. The default
+    checkpointer syncs ALL processes (``sync_global_devices`` inside
+    restore), which hangs any caller pattern where processes restore at
+    different times or not at all (e.g. process 0 validating a checkpoint
+    alone). Restores read host trees from shared storage, so each process
+    restores independently as its own single-member group."""
+    if jax.process_count() > 1:
+        me = jax.process_index()
+        return ocp.StandardCheckpointer(
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me},
+                barrier_sync_key_prefix=f"restore_p{me}"))
+    return ocp.StandardCheckpointer()
+
+
 def restore_train_state(path: str, template_state):
-    """Restore a full train state (shapes/dtypes from ``template_state``)."""
+    """Restore a full train state (shapes/dtypes from ``template_state``).
+
+    Host-local: safe for any subset of processes to call, at any time."""
     path = os.path.abspath(path)
-    with ocp.StandardCheckpointer() as ckptr:
+    with _reader() as ckptr:
         restored = ckptr.restore(path, _to_save_tree(template_state))
     return template_state.replace(**restored)
 
