@@ -46,6 +46,23 @@ CHILD = textwrap.dedent("""
         print("RESULT", proc_id, result.epochs_run,
               ",".join(f"{v:.6f}" for v in result.test_loss))
 
+        # resume: every process restores host-locally and continues — the
+        # multi-host preemption-recovery path (restore -> shard_state ->
+        # further global steps). ZeRO-1 variant only: it adds ~3.5 min and
+        # the sharded-moment resume is the strictly richer path.
+        import os
+        ckpt = os.path.join(out, "checkpoint", "ckpt")
+        if shard_opt:
+            result2 = train_model(TrainConfig(
+                train_database=train_db, test_database=test_db,
+                output_folder=out + "_resume", batch_size=1,
+                test_every_n_steps=2, early_stopping_count=1,
+                use_augmentation=False, max_epochs=1, dtype="float32",
+                base_features=2, seed=0, device_augment=False,
+                shard_optimizer=shard_opt, resume_checkpoint=ckpt))
+            print("RESUMED", proc_id, result2.epochs_run,
+                  ",".join(f"{v:.6f}" for v in result2.test_loss))
+
         if proc_id == 0:
             # the checkpoint must restore into a host-side template: with
             # ZeRO-1 this exercises the tiled cross-host moment assembly
@@ -157,6 +174,14 @@ def test_two_process_train_model(dbs, tmp_path, shard_opt):
     results = [next(l for l in o[1].splitlines() if l.startswith("RESULT"))
                for o in outs]
     assert results[0].split()[2:] == results[1].split()[2:]
+
+    if shard_opt:
+        # resume continued from the saved step on both hosts, with matching
+        # global losses
+        resumed = [next(l for l in o[1].splitlines() if l.startswith("RESUMED"))
+                   for o in outs]
+        assert resumed[0].split()[2:] == resumed[1].split()[2:]
+        assert "Resumed training state" in outs[0][1]
 
     # process 0 restored the checkpoint into a host template (with ZeRO-1
     # that assembles the cross-host-sharded Adam moments) and verified the
