@@ -34,7 +34,34 @@ def initialize_distributed(
     process_id: Optional[int] = None,
 ) -> None:
     """jax.distributed.initialize with TPU-pod auto-detection when args are
-    omitted (the common TPU VM case)."""
+    omitted (the common TPU VM case; Slurm and JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars are also auto-detected).
+
+    On the CPU platform, cross-process collectives need an explicit
+    implementation (Gloo); TPU ICI needs nothing. Selecting it here makes
+    ``JAX_PLATFORMS=cpu tpuseg-train --multihost 1`` work for laptop/CI
+    dry-runs of the multi-host path."""
+    import os
+
+    platforms = ""
+    try:
+        platforms = jax.config.jax_platforms or ""
+    except Exception:
+        pass
+    platforms = platforms or os.environ.get("JAX_PLATFORMS", "")
+    if platforms.split(",")[0] == "cpu":
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # older jax: no CPU cross-process collectives
+    # jax auto-detects JAX_COORDINATOR_ADDRESS but has no env spelling for
+    # the process count/id outside managed clusters (TPU metadata, Slurm,
+    # OMPI); honor the conventional names so plain multi-process runs —
+    # e.g. two laptop/CI processes — need no code changes
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
