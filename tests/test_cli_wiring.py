@@ -22,6 +22,7 @@ def test_train_cli_wiring(monkeypatch):
         "--resume_checkpoint", "ck", "--shard_optimizer", "1",
         "--profile_steps", "11", "--jitter_severity", "0.2",
         "--log_every_n_steps", "5", "--batch_echo", "2",
+        "--spatial", "2",
     ])
     cfg = captured["cfg"]
     assert cfg.train_database == "tdb" and cfg.test_database == "vdb"
@@ -37,6 +38,7 @@ def test_train_cli_wiring(monkeypatch):
     assert cfg.resume_checkpoint == "ck" and cfg.shard_optimizer is True
     assert cfg.profile_steps == 11
     assert cfg.log_every_n_steps == 5 and cfg.batch_echo == 2
+    assert cfg.spatial_partitions == 2
     assert cfg.augment_params.jitter_augmentation_severity == pytest.approx(0.2)
 
 

@@ -29,6 +29,7 @@ CHILD = textwrap.dedent("""
         proc_id = int(sys.argv[1]); port = sys.argv[2]
         train_db, test_db, out = sys.argv[3:6]
         shard_opt = sys.argv[6] == "1"
+        spatial = int(sys.argv[7])
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
@@ -42,7 +43,7 @@ CHILD = textwrap.dedent("""
             batch_size=1, test_every_n_steps=2, early_stopping_count=1,
             use_augmentation=False, max_epochs=2, dtype="float32",
             base_features=2, seed=0, device_augment=False,
-            shard_optimizer=shard_opt))
+            shard_optimizer=shard_opt, spatial_partitions=spatial))
         print("RESULT", proc_id, result.epochs_run,
               ",".join(f"{v:.6f}" for v in result.test_loss))
 
@@ -114,7 +115,7 @@ def dbs(tmp_path_factory):
     return make(root / "train-mh.lmdb", 16), make(root / "test-mh.lmdb", 8)
 
 
-def _launch(script, port, train_db, test_db, out, shard_opt):
+def _launch(script, port, train_db, test_db, out, shard_opt, spatial=1):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["JAX_PLATFORMS"] = "cpu"
@@ -124,7 +125,7 @@ def _launch(script, port, train_db, test_db, out, shard_opt):
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), str(port),
-             train_db, test_db, out, "1" if shard_opt else "0"],
+             train_db, test_db, out, "1" if shard_opt else "0", str(spatial)],
             env=env, cwd=repo,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(2)
@@ -141,9 +142,9 @@ def _launch(script, port, train_db, test_db, out, shard_opt):
     return outs
 
 
-@pytest.mark.parametrize("shard_opt", [False, True],
-                         ids=["replicated", "zero1"])
-def test_two_process_train_model(dbs, tmp_path, shard_opt):
+@pytest.mark.parametrize("shard_opt,spatial", [(False, 1), (True, 1), (False, 2)],
+                         ids=["replicated", "zero1", "spatial"])
+def test_two_process_train_model(dbs, tmp_path, shard_opt, spatial):
     import jax
 
     if not hasattr(jax.config, "jax_cpu_collectives_implementation"):
@@ -159,15 +160,18 @@ def test_two_process_train_model(dbs, tmp_path, shard_opt):
     # cache, so the retry runs in lockstep
     for attempt in range(2):
         out = str(tmp_path / f"out{attempt}")
-        outs = _launch(script, _free_port(), train_db, test_db, out, shard_opt)
+        outs = _launch(script, _free_port(), train_db, test_db, out, shard_opt,
+                       spatial)
         if all(rc == 0 for rc, _, _ in outs):
             break
         print(f"attempt {attempt} failed:\n{outs[0][1][-1000:]}\n{outs[0][2][-2000:]}")
 
     for rc, stdout, stderr in outs:
         assert rc == 0, f"child failed:\n{stdout[-2000:]}\n{stderr[-4000:]}"
-        # real 2-process topology, not a monkeypatched one
-        assert "devices = 4 over 2 host(s), global_batch_size = 4" in stdout
+        # real 2-process topology, not a monkeypatched one; with spatial=2
+        # each 2-chip group is one replica, so the global batch halves
+        gb = 4 // spatial
+        assert f"devices = 4 over 2 host(s), global_batch_size = {gb}" in stdout
 
     # the loss is a global-batch reduction: both hosts must report the
     # identical trajectory (divergence = desynced streams or broken psums)

@@ -101,6 +101,57 @@ def test_train_model_zero1_matches_replicated(dbs, tmp_path):
     assert np.isfinite(results[True].final_train_loss)
 
 
+def test_train_model_spatial_matches_flat(dbs, tmp_path):
+    """--spatial 2 runs the full loop on a 4x2 (data x spatial) mesh: each
+    sample's rows shard over 2 devices (GSPMD conv halo exchange) and a
+    "replica" is a 2-chip group. With the global batch and worker count
+    matched (4 replicas x batch 2 x 2 workers/replica == 8 replicas x
+    batch 1 x 1 worker/replica), the trajectory must reproduce the flat
+    data-parallel run."""
+    train_db, test_db = dbs
+    results = {}
+    for spatial, batch, rc in ((1, 1, 1), (2, 2, 2)):
+        cfg = TrainConfig(
+            train_database=train_db,
+            test_database=test_db,
+            output_folder=str(tmp_path / f"sp{spatial}"),
+            batch_size=batch,
+            reader_count=rc,
+            test_every_n_steps=2,
+            early_stopping_count=1,
+            use_augmentation=False,
+            max_epochs=2,
+            dtype="float32",
+            base_features=2,
+            seed=0,
+            device_augment=False,
+            spatial_partitions=spatial,
+        )
+        results[spatial] = train_model(cfg)
+
+    assert results[2].test_loss == pytest.approx(results[1].test_loss, rel=2e-3)
+    assert np.isfinite(results[2].final_train_loss)
+
+
+def test_train_model_spatial_rejects_bad_geometry(dbs, tmp_path):
+    """An impossible spatial factor fails fast with the geometry named
+    (8 devices don't factor as data x 3) instead of dying inside GSPMD."""
+    train_db, test_db = dbs
+    cfg = TrainConfig(
+        train_database=train_db,
+        test_database=test_db,
+        output_folder=str(tmp_path / "spbad"),
+        batch_size=8,
+        max_epochs=1,
+        dtype="float32",
+        base_features=2,
+        seed=0,
+        spatial_partitions=3,
+    )
+    with pytest.raises(ValueError, match="devices"):
+        train_model(cfg)
+
+
 @pytest.mark.parametrize("profile_steps", [2, 99])
 def test_train_model_profile_steps(dbs, tmp_path, profile_steps):
     """--profile_steps captures a jax.profiler trace of steady-state steps

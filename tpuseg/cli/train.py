@@ -61,6 +61,11 @@ def main(argv=None):
                         help="ZeRO-1 weight-update sharding: shard Adam moments over "
                              "the data-parallel mesh axis [0 = replicate, 1 = shard] "
                              "(tpuseg extension; no-op on a single chip)")
+    parser.add_argument("--spatial", dest="spatial", type=int, default=1,
+                        help="spatial partitioning: shard each sample's rows over "
+                             "groups of N chips (GSPMD conv halo exchange); the "
+                             "global batch becomes batch_size x devices/N. Image "
+                             "height must divide by N (tpuseg extension)")
     parser.add_argument("--profile_steps", dest="profile_steps", type=int, default=0,
                         help="capture a jax.profiler device trace of the first N "
                              "steady-state steps into <output>/profile "
@@ -130,6 +135,7 @@ def main(argv=None):
         device_augment=bool(args.device_augmentation),
         resume_checkpoint=args.resume_checkpoint,
         shard_optimizer=bool(args.shard_optimizer),
+        spatial_partitions=args.spatial,
         profile_steps=args.profile_steps,
         log_every_n_steps=args.log_every_n_steps,
         batch_echo=args.batch_echo,

@@ -75,6 +75,14 @@ class TrainConfig:
     # mesh axis, gradients reduce-scattered into the shards (tpuseg
     # extension; no-op on a single device)
     shard_optimizer: bool = False
+    # spatial partitioning: each sample's rows sharded over a group of N
+    # chips (mesh 'spatial' axis, GSPMD conv halo exchange) — the activation
+    # -pressure remedy BASELINE.md prices for large tiles. A "replica"
+    # becomes one spatial group, so the global batch is batch_size x
+    # (devices / N) per the reference's scaling rule (train.py:61). Image
+    # height must divide by N. Multi-host keeps every spatial group inside
+    # one host (halos ride ICI, never DCN). (tpuseg extension)
+    spatial_partitions: int = 1
     # capture a jax.profiler device trace of the first N steady-state steps
     # (epoch 1, after the warmup epoch's compiles) into
     # <output_folder>/profile — opens in TensorBoard's profile plugin /
@@ -148,6 +156,30 @@ def _device_seed(seed: Optional[int]) -> int:
     return entropy
 
 
+def _barrier_after_first(it, name: str):
+    """Yield from ``it``, synchronizing all hosts at a coordination-service
+    barrier (pure gRPC — no device collective, nothing to compile) once the
+    first item is ready.
+
+    Reader warm-up time is host-dependent (worker process spawn, library
+    imports) and is the last unsynchronized wait before step one; without
+    this, a host whose readers come up >~30s later than a peer's makes the
+    peer time out the step program's communicator rendezvous."""
+    first = True
+    for item in it:
+        if first and jax.process_count() > 1:
+            try:
+                from jax._src import distributed as _dist
+
+                client = getattr(_dist.global_state, "client", None)
+                if client is not None:
+                    client.wait_at_barrier(name, 600_000)
+            except Exception:
+                pass  # private API drifted: lose the sync, not the run
+        first = False
+        yield item
+
+
 def train_model(config: TrainConfig) -> TrainResult:
     cfg = config
     print(f"batch_size = {cfg.batch_size}")
@@ -164,20 +196,25 @@ def train_model(config: TrainConfig) -> TrainResult:
 
     os.makedirs(cfg.output_folder, exist_ok=True)
 
+    sp = max(1, cfg.spatial_partitions)
     if jax.process_count() > 1:
         # multi-host: hosts contiguous on the data axis (psums ride ICI
         # first, DCN only at slice boundaries); each host feeds its slice
         from tpuseg.parallel import distributed
 
-        mesh = distributed.make_hybrid_mesh()
+        mesh = distributed.make_hybrid_mesh(ici_spatial=sp)
         local_batch_size = distributed.process_local_batch_size(
-            cfg.batch_size * mesh.devices.size)
+            cfg.batch_size * mesh.shape["data"],
+            data_shards=mesh.shape["data"])
     else:
-        mesh = mesh_lib.make_mesh()
-        local_batch_size = cfg.batch_size * mesh.devices.size
+        mesh = mesh_lib.make_mesh(spatial=sp)
+        local_batch_size = cfg.batch_size * mesh.shape["data"]
     num_devices = mesh.devices.size
-    global_batch_size = cfg.batch_size * num_devices  # train.py:61
-    reader_count = cfg.reader_count * jax.local_device_count()  # train.py:63, per host
+    # train.py:61 — with spatial partitioning a "replica" is one spatial
+    # group of `sp` chips, so replicas == the data-axis size
+    global_batch_size = cfg.batch_size * mesh.shape["data"]
+    # train.py:63, per host: readers scale with local replicas
+    reader_count = cfg.reader_count * max(jax.local_device_count() // sp, 1)
     print(f"devices = {num_devices} over {jax.process_count()} host(s), "
           f"global_batch_size = {global_batch_size}")
 
@@ -205,6 +242,11 @@ def train_model(config: TrainConfig) -> TrainResult:
     print(f"Train Reader has {train_reader.get_image_count()} images")
 
     number_channels = train_reader.get_image_size()[2]
+    if train_reader.get_image_size()[0] % sp:
+        raise ValueError(
+            f"image height {train_reader.get_image_size()[0]} is not divisible "
+            f"by spatial_partitions={sp}: rows cannot shard evenly over the "
+            "spatial axis")
     model = UNet(num_classes=cfg.number_classes, base_features=cfg.base_features,
                  dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
     rng = jax.random.PRNGKey(_device_seed(cfg.seed))
@@ -272,6 +314,7 @@ def train_model(config: TrainConfig) -> TrainResult:
         # each host stacks only its slice of the global batch (equal to the
         # global batch on a single host)
         train_iter = device_prefetch(train_reader.batches(local_batch_size), data_sharding)
+        train_iter = _barrier_after_first(train_iter, "tpuseg:first-batch")
 
         # resumed runs continue the epoch numbering and skip the lr/10
         # warmup epoch — the restored optimizer is already warm
