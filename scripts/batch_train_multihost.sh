@@ -25,9 +25,20 @@ OUTPUT_DIR="${OUTPUT_DIR:-./results-multihost}"
 BATCH_SIZE="${BATCH_SIZE:-8}"           # per chip
 READER_COUNT="${READER_COUNT:-2}"       # per chip on this host
 
-# Host index, for log naming only (process ids come from jax.distributed):
-# Slurm tasks export SLURM_PROCID; TPU VM workers export TPU_WORKER_ID.
-HOST_ID="${SLURM_PROCID:-${TPU_WORKER_ID:-0}}"
+# Host index, for log naming and the host-0-only snapshot (process ids come
+# from jax.distributed): Slurm tasks export SLURM_PROCID; TPU VM runtimes
+# export TPU_WORKER_ID, but a bare `gcloud ... ssh --worker=all` shell does
+# NOT — fall back to the instance metadata, then to the hostname (unique per
+# host, so concurrent writers still never collide on log files).
+HOST_ID="${SLURM_PROCID:-${TPU_WORKER_ID:-}}"
+if [[ -z "${HOST_ID}" ]]; then
+  HOST_ID="$(curl -s -m 2 -H 'Metadata-Flavor: Google' \
+    'http://metadata.google.internal/computeMetadata/v1/instance/attributes/agent-worker-number' \
+    2>/dev/null || true)"
+fi
+if ! [[ "${HOST_ID}" =~ ^[0-9]+$ ]]; then
+  HOST_ID="$(hostname -s)"
+fi
 
 mkdir -p "${OUTPUT_DIR}"
 
@@ -50,7 +61,9 @@ REPO_DIR="$(cd "$(dirname "$0")/.." && pwd)"
 # filesystem and N hosts racing the same tarball corrupts it.
 if [[ "${HOST_ID}" == "0" ]]; then
   git -C "${REPO_DIR}" rev-parse HEAD > "${OUTPUT_DIR}/git_commit.txt" 2>/dev/null || true
-  tar -C "${REPO_DIR}" -czf "${OUTPUT_DIR}/source_snapshot.tar.gz" tpuseg scripts 2>/dev/null || true
+  # write-then-rename: atomic even if host identification ever double-fires
+  tar -C "${REPO_DIR}" -czf "${OUTPUT_DIR}/.snapshot.$$.tar.gz" tpuseg scripts 2>/dev/null \
+    && mv -f "${OUTPUT_DIR}/.snapshot.$$.tar.gz" "${OUTPUT_DIR}/source_snapshot.tar.gz" || true
 fi
 
 # Per-host logs: the trainer already scopes checkpoint/TensorBoard/csv writes

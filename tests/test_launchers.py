@@ -35,6 +35,10 @@ def _run(script: str, tmp_path: Path, extra_env=None, args=()):
         "OUTPUT_DIR": str(out_dir),
     })
     env.pop("SLURM_JOB_ID", None)  # keep the /scratch staging branch off
+    # host-identity vars would change HOST_ID resolution if the suite itself
+    # runs under srun or on a TPU-VM worker
+    env.pop("SLURM_PROCID", None)
+    env.pop("TPU_WORKER_ID", None)
     env.update(extra_env or {})
     proc = subprocess.run(
         [str(REPO / "scripts" / script), *args],
@@ -74,9 +78,23 @@ def test_batch_train_multihost_invocation(tmp_path):
 
 
 def test_batch_train_multihost_host0_snapshots(tmp_path):
-    _, out_dir, _ = _run("batch_train_multihost.sh", tmp_path)
+    _, out_dir, _ = _run("batch_train_multihost.sh", tmp_path,
+                         extra_env={"TPU_WORKER_ID": "0"})
     assert (out_dir / "log_host0.txt").exists()
     assert (out_dir / "git_commit.txt").exists()
+    assert (out_dir / "source_snapshot.tar.gz").exists()
+
+
+def test_batch_train_multihost_unknown_host_identity(tmp_path):
+    """Without SLURM/TPU env (e.g. bare `gcloud ssh --worker=all`), HOST_ID
+    falls back to the hostname: logs stay unique per host and nobody claims
+    the host-0 snapshot role."""
+    import socket
+
+    _, out_dir, _ = _run("batch_train_multihost.sh", tmp_path)
+    host = socket.gethostname().split(".")[0]
+    assert (out_dir / f"log_host{host}.txt").exists()
+    assert not (out_dir / "git_commit.txt").exists()
 
 
 def test_batch_train_requires_databases(tmp_path):

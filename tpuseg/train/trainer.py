@@ -23,6 +23,7 @@ Reproduces the orchestration of the reference ``train.py::train_model``
 from __future__ import annotations
 
 import datetime
+import itertools
 import os
 import time
 from dataclasses import dataclass, field
@@ -156,32 +157,52 @@ def _device_seed(seed: Optional[int]) -> int:
     return entropy
 
 
+# one nonce per train_model call: barrier ids are single-use, and every
+# host enters train_model the same number of times, so ids agree across
+# hosts even if an error path skips a barrier inside one call
+_call_seq = itertools.count()
+
+
+def _host_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Coordination-service barrier (pure gRPC — no device collective,
+    nothing to compile). No-op single-process or if the private client API
+    drifts. Callers must pass a name every host uses the same number of
+    times; barrier ids are single-use."""
+    if jax.process_count() == 1:
+        return
+    try:
+        from jax._src import distributed as _dist
+
+        client = getattr(_dist.global_state, "client", None)
+        if client is not None:
+            client.wait_at_barrier(name, timeout_ms)
+    except Exception:
+        pass  # lose the sync, not the run
+
+
 def _barrier_after_first(it, name: str):
-    """Yield from ``it``, synchronizing all hosts at a coordination-service
-    barrier (pure gRPC — no device collective, nothing to compile) once the
-    first item is ready.
+    """Yield from ``it``, synchronizing all hosts at a host barrier once the
+    first item is ready; closes ``it`` on close so the prefetch producer
+    thread stops deterministically at shutdown.
 
     Reader warm-up time is host-dependent (worker process spawn, library
     imports) and is the last unsynchronized wait before step one; without
     this, a host whose readers come up >~30s later than a peer's makes the
     peer time out the step program's communicator rendezvous."""
-    first = True
-    for item in it:
-        if first and jax.process_count() > 1:
-            try:
-                from jax._src import distributed as _dist
-
-                client = getattr(_dist.global_state, "client", None)
-                if client is not None:
-                    client.wait_at_barrier(name, 600_000)
-            except Exception:
-                pass  # private API drifted: lose the sync, not the run
-        first = False
-        yield item
+    try:
+        first = True
+        for item in it:
+            if first:
+                _host_barrier(name)
+            first = False
+            yield item
+    finally:
+        it.close()
 
 
 def train_model(config: TrainConfig) -> TrainResult:
     cfg = config
+    call_id = next(_call_seq)
     print(f"batch_size = {cfg.batch_size}")
     print(f"number_classes = {cfg.number_classes}")
     print(f"learning_rate = {cfg.learning_rate}")
@@ -196,7 +217,9 @@ def train_model(config: TrainConfig) -> TrainResult:
 
     os.makedirs(cfg.output_folder, exist_ok=True)
 
-    sp = max(1, cfg.spatial_partitions)
+    sp = cfg.spatial_partitions
+    if sp < 1:
+        raise ValueError(f"spatial_partitions must be >= 1, got {sp}")
     if jax.process_count() > 1:
         # multi-host: hosts contiguous on the data axis (psums ride ICI
         # first, DCN only at slice boundaries); each host feeds its slice
@@ -314,7 +337,8 @@ def train_model(config: TrainConfig) -> TrainResult:
         # each host stacks only its slice of the global batch (equal to the
         # global batch on a single host)
         train_iter = device_prefetch(train_reader.batches(local_batch_size), data_sharding)
-        train_iter = _barrier_after_first(train_iter, "tpuseg:first-batch")
+        train_iter = _barrier_after_first(
+            train_iter, f"tpuseg:first-batch-{call_id}")
 
         # resumed runs continue the epoch numbering and skip the lr/10
         # warmup epoch — the restored optimizer is already warm
@@ -479,6 +503,10 @@ def train_model(config: TrainConfig) -> TrainResult:
                 ckpt_writer.wait()  # flush any in-flight checkpoint write
             except NameError:
                 pass
+            # leave train_model together: peers must not act on this run's
+            # artifacts (e.g. resume from the checkpoint) before process
+            # 0's background write above has flushed
+            _host_barrier(f"tpuseg:train-exit-{call_id}")
             try:
                 train_iter.close()
             except NameError:

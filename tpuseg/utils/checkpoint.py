@@ -52,19 +52,30 @@ def _gather_to_host(tree):
     against the template (review r3)."""
     from jax.experimental import multihost_utils
 
-    def leaf(x):
+    def local(x):
         if getattr(x, "is_fully_addressable", True):
             return jax.device_get(x)
-        if x.sharding.is_fully_replicated:
-            # every process already holds the full value: read the local
-            # copy. An allgather here is pure DCN waste — and
-            # process_allgather(tiled=False) rejects global arrays outright
-            # (ValueError), so replicated multi-host state could never save.
-            return np.asarray(x.addressable_data(0))
-        # genuinely cross-host-sharded (ZeRO-1 moments): collective assembly
-        return multihost_utils.process_allgather(x, tiled=True)
+        # replicated: every process already holds the full value — read the
+        # local copy. An allgather here is pure DCN waste, and
+        # process_allgather(tiled=False) rejects global arrays outright
+        # (ValueError), so replicated multi-host state could never save.
+        return np.asarray(x.addressable_data(0))
 
-    return jax.tree.map(leaf, tree)
+    def is_sharded(x):
+        return (not getattr(x, "is_fully_addressable", True)
+                and not x.sharding.is_fully_replicated)
+
+    # genuinely cross-host-sharded leaves (ZeRO-1 moments): ONE collective
+    # assembly for the whole subtree — per-leaf calls would dispatch (and
+    # first-compile) dozens of separate tiny cross-DCN programs per save
+    leaves, treedef = jax.tree.flatten(tree)
+    sharded = [x for x in leaves if is_sharded(x)]
+    if sharded:
+        gathered = iter(multihost_utils.process_allgather(sharded, tiled=True))
+        leaves = [next(gathered) if is_sharded(x) else local(x) for x in leaves]
+    else:
+        leaves = [local(x) for x in leaves]
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def _writer():
