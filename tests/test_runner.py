@@ -474,3 +474,30 @@ def test_check_channels_rejects_bad_ndim():
         _check_channels((64,), 1, "vector.tif")
     _check_channels((64, 64), 1, "ok.tif")
     _check_channels((64, 64, 3), 3, "ok3.tif")
+
+
+def test_inference_multihost_stripes_folder(ckpt, tmp_path):
+    """With multiple processes, each host segments its stride of the sorted
+    folder with its LOCAL devices (a process-spanning mesh would deadlock on
+    hosts running different tile programs); union over hosts covers the
+    folder exactly once."""
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    rng = np.random.default_rng(0)
+    names = [f"im{i}.tif" for i in range(5)]
+    for n in names:
+        imwrite(os.path.join(imgdir, n),
+                rng.integers(0, 4096, size=(96, 80)).astype(np.uint16))
+
+    written = {}
+    for me in (0, 1):
+        outdir = str(tmp_path / f"out{me}")
+        cfg = InferenceConfig(
+            checkpoint_filepath=ckpt, image_folder=imgdir,
+            output_folder=outdir, number_classes=2, number_channels=1,
+            tile_size=288, radius=96, batch_size=2, dtype="float32",
+            base_features=2, process_index=me, process_count=2)
+        written[me] = sorted(os.path.basename(p) for p in inference(cfg))
+
+    assert written[0] == ["im0.tif", "im2.tif", "im4.tif"]
+    assert written[1] == ["im1.tif", "im3.tif"]

@@ -72,7 +72,19 @@ def main(argv=None):
                         help="|activation| percentile for the int8 clip range "
                              "(100 = exact max; 99.9 is the measured-parity "
                              "default)")
+    parser.add_argument("--multihost", dest="multihost", type=int, default=0,
+                        help="initialize jax.distributed and stripe the image "
+                             "folder across hosts — each host segments its "
+                             "share with its local chips; run once per host "
+                             "[0 = single host, 1 = multi-host] "
+                             "(tpuseg extension)")
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        # must run before first jax device use so host identity is known
+        from tpuseg.parallel.distributed import initialize_distributed
+
+        initialize_distributed()
 
     inference(InferenceConfig(
         checkpoint_filepath=args.checkpoint_filepath,

@@ -68,6 +68,10 @@ class InferenceConfig:
     # (argmax-stable away from decision boundaries), measured in BASELINE.md
     quantize: str = "none"
     calibration_images: int = 4
+    # host identity for multi-host folder striping (None = ask jax);
+    # explicit fields mirror ImageReader's host_kw seam
+    process_index: Optional[int] = None
+    process_count: Optional[int] = None
     # |activation| percentile defining the int8 clip range (100 = exact max);
     # 99.9 is the measured-parity default (BASELINE.md int8 sweep)
     calibration_percentile: float = 99.9
@@ -323,6 +327,18 @@ def inference(cfg: InferenceConfig) -> List[str]:
         os.path.join(cfg.image_folder, fn)
         for fn in sorted(os.listdir(cfg.image_folder)) if fn.endswith(f".{fmt}")
     ]
+    n = cfg.process_count if cfg.process_count is not None else jax.process_count()
+    if n > 1:
+        # multi-host: images are independent, so each host segments its
+        # stride of the sorted folder (the worker-strided walk of
+        # imagereader.py:239-241 lifted to hosts) and writes its masks to
+        # the shared output folder under distinct names. Note: int8
+        # calibration then sees each host's own first images — scales may
+        # differ across hosts within the measured-parity envelope.
+        me = cfg.process_index if cfg.process_index is not None else jax.process_index()
+        print(f"host {me}/{n}: segmenting {len(img_filepath_list[me::n])} of "
+              f"{len(img_filepath_list)} images")
+        img_filepath_list = img_filepath_list[me::n]
 
     model, variables = load_model(cfg)
     calib_cache: dict = {}
@@ -335,11 +351,14 @@ def inference(cfg: InferenceConfig) -> List[str]:
             cfg, model, variables, img_filepath_list)
 
     mesh = None
-    if cfg.data_parallel and jax.device_count() > 1:
+    if cfg.data_parallel and jax.local_device_count() > 1:
         from tpuseg.parallel.mesh import make_mesh
 
-        mesh = make_mesh(jax.devices())
-        print(f"Sharding tile grid over {jax.device_count()} devices")
+        # LOCAL devices only: hosts work on disjoint image stripes, so a
+        # process-spanning mesh would have each host waiting on peers that
+        # are running different programs
+        mesh = make_mesh(jax.local_devices())
+        print(f"Sharding tile grid over {jax.local_device_count()} local devices")
 
     if cfg.streaming:
         return _inference_streaming(cfg, model, variables, predict_fn,
