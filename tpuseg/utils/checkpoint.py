@@ -41,15 +41,19 @@ def _fully_addressable(tree) -> bool:
 
 
 def _gather_to_host(tree):
-    """Collective gather of a (possibly cross-host-sharded) state tree to
-    host numpy on every process. Must be called by all processes.
+    """Gather of a (possibly cross-host-sharded) state tree to host numpy on
+    every process. Collective only when sharded leaves exist — then all
+    processes must call it.
 
-    Per-leaf: only non-fully-addressable leaves go through
-    ``process_allgather`` (which assembles the global value). Passing the
-    whole MIXED tree would STACK every fully-addressable leaf along a new
-    [num_processes] axis (the documented host-local behavior) — e.g. the
-    scalar ``lr`` became shape (P,) and the checkpoint failed to restore
-    against the template (review r3)."""
+    Leaves are split three ways: fully-addressable -> device_get;
+    replicated-but-global -> local shard read (every process already holds
+    the value; ``process_allgather(tiled=False)`` would reject it and an
+    allgather would be pure DCN waste); genuinely cross-host-sharded
+    (ZeRO-1 moments) -> ONE ``process_allgather(tiled=True)`` over the
+    sharded subtree. Never pass the MIXED tree to ``process_allgather``:
+    fully-addressable leaves get STACKED along a new [num_processes] axis
+    (documented host-local behavior) — e.g. the scalar ``lr`` became shape
+    (P,) and the checkpoint failed to restore (review r3)."""
     from jax.experimental import multihost_utils
 
     def local(x):
