@@ -17,6 +17,13 @@ Wiring (used by tpuseg.train.trainer when ``jax.process_count() > 1``):
 - the prefetcher assembles the global sharded batch from per-host data with
   :func:`global_batch_from_local` (``jax.make_array_from_process_local_data``)
   — no host ever materializes the full global batch.
+
+Failure semantics: a host that dies (reader crash, preemption) surfaces on
+its peers as a collective/communicator timeout at their next step, which
+unwinds through the trainer's reader-shutdown ``finally`` — the surviving
+processes exit rather than hang, and the run resumes from the best
+checkpoint with ``--resume_checkpoint`` (each process restores
+host-locally).
 """
 
 from __future__ import annotations
