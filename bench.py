@@ -24,6 +24,44 @@ V100_TF2_BASELINE_IMG_PER_SEC = 10.0  # analytic estimate, see BASELINE.md
 V5E_BF16_PEAK_TFLOPS = 197.0  # TPU v5e per-chip bf16 peak
 
 
+def _require_live_backend(metric: str, unit: str,
+                          timeout_s: float = 180.0) -> None:
+    """Fail fast instead of hanging when the tunneled TPU backend is down.
+
+    The backend occasionally goes away entirely — even ``jax.devices()``
+    hangs (CLAUDE.md) — and an unguarded bench would then block the
+    round-end driver indefinitely. A daemon thread runs one trivial device
+    op synced by value readback; if it does not complete within
+    ``timeout_s`` (a trivial add compiles in seconds — the budget covers a
+    cold process + slow tunnel, not a U-Net compile), the bench emits one
+    self-describing JSON error line and exits 1. ``os._exit`` because the
+    probe thread is stuck inside a C call and would block normal
+    interpreter shutdown."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def _probe():
+        import jax.numpy as jnp
+        float(jnp.ones(()) + 1.0)  # value readback: the only true sync here
+        done.set()
+
+    threading.Thread(target=_probe, daemon=True,
+                     name="tpuseg-bench-probe").start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": metric,
+            "value": 0.0,
+            "unit": unit,
+            "vs_baseline": 0.0,
+            "error": "TPU backend unreachable: trivial device op did not "
+                     f"complete within {timeout_s:.0f}s (tunnel down; "
+                     "see CLAUDE.md environment quirks)",
+        }), flush=True)
+        os._exit(1)
+
+
 def unet_train_flops_per_image(hw: int, channels: int = 1, classes: int = 2,
                                base: int = 64) -> float:
     """The documented FLOP model (BASELINE.md "Workload FLOP analysis"):
@@ -107,6 +145,8 @@ def bench_e2e():
 
     from tpuseg.utils.compile_cache import enable as _enable_cache
     _enable_cache()
+    _require_live_backend("unet_e2e_train_throughput_512px",
+                          "images/sec/chip")
     import jax
 
     from tpuseg.data.reader import ImageReader
@@ -192,6 +232,7 @@ def bench_infer():
 
     from tpuseg.utils.compile_cache import enable as _enable_cache
     _enable_cache()
+    _require_live_backend("unet_tiled_inference_4096px", "MP/sec/chip")
     import jax.numpy as jnp
 
     from tpuseg.data.preprocess import zscore_stats
@@ -271,6 +312,7 @@ def bench_infer():
 def main(hw: int = 512, batch: int = 8):
     from tpuseg.utils.compile_cache import enable as _enable_cache
     _enable_cache()
+    _require_live_backend(f"unet_train_throughput_{hw}px", "images/sec/chip")
     import jax
     import jax.numpy as jnp
 

@@ -38,3 +38,43 @@ def test_cli_strict_parsing():
     assert run("--e2e", "--hw", "1024").returncode != 0  # scope error
     out = run("--help")
     assert out.returncode == 0 and "--batch" in out.stdout
+
+
+def test_backend_probe_passes_on_live_backend():
+    # conftest pins the CPU backend, which is always "live": the probe must
+    # return quietly without printing anything
+    bench._require_live_backend("m", "u", timeout_s=60.0)
+
+
+def test_backend_probe_times_out_with_error_json(monkeypatch, capsys):
+    """When the device op never completes (tunnel down), the bench must emit
+    one self-describing JSON error line and exit nonzero instead of hanging
+    the round-end driver."""
+    import json
+    import os
+    import threading
+
+    class _StuckThread:
+        def __init__(self, *a, **k):
+            pass
+
+        def start(self):  # the probe never runs -> done never sets
+            pass
+
+    def _fake_exit(code):
+        raise SystemExit(code)
+
+    monkeypatch.setattr(threading, "Thread", _StuckThread)
+    monkeypatch.setattr(os, "_exit", _fake_exit)
+
+    try:
+        bench._require_live_backend("unet_train_throughput_512px",
+                                    "images/sec/chip", timeout_s=0.05)
+        raise AssertionError("expected SystemExit")
+    except SystemExit as e:
+        assert e.code == 1
+    line = capsys.readouterr().out.strip()
+    rec = json.loads(line)
+    assert rec["metric"] == "unet_train_throughput_512px"
+    assert rec["value"] == 0.0 and rec["vs_baseline"] == 0.0
+    assert "unreachable" in rec["error"]
