@@ -72,6 +72,13 @@ def main(argv=None):
                         help="|activation| percentile for the int8 clip range "
                              "(100 = exact max; 99.9 is the measured-parity "
                              "default)")
+    parser.add_argument("--seed", dest="seed", type=int, default=None,
+                        help="seed the ERF probe's noise image so the measured "
+                             "halo radius — and with it tile geometry and "
+                             "--auto_tile choices — is reproducible across runs "
+                             "and identical on every host of a --multihost "
+                             "fleet; default draws fresh entropy like the "
+                             "reference (tpuseg extension)")
     parser.add_argument("--multihost", dest="multihost", type=int, default=0,
                         help="initialize jax.distributed and stripe the image "
                              "folder across hosts — each host segments its "
@@ -105,6 +112,7 @@ def main(argv=None):
         quantize=args.quantize,
         calibration_images=args.calibration_images,
         calibration_percentile=args.calibration_percentile,
+        seed=args.seed,
     ))
 
 

@@ -75,6 +75,13 @@ class InferenceConfig:
     # |activation| percentile defining the int8 clip range (100 = exact max);
     # 99.9 is the measured-parity default (BASELINE.md int8 sweep)
     calibration_percentile: float = 99.9
+    # seeds the ERF probe's noise image. The reference draws from the global
+    # np.random state (model.py:167), so near the 96/112 rounding threshold
+    # the measured radius — and with it tile geometry and --auto_tile
+    # choices — can differ between runs and between fleet hosts. None keeps
+    # reference behavior; an int makes geometry reproducible (all hosts of a
+    # striped fleet share one radius when given the same seed).
+    seed: Optional[int] = None
 
 
 def load_model(cfg: InferenceConfig):
@@ -84,6 +91,14 @@ def load_model(cfg: InferenceConfig):
     template = create_train_state(model, jax.random.PRNGKey(0), cfg.number_channels, 1e-4)
     variables = restore_model_variables(cfg.checkpoint_filepath, template)
     return model, variables
+
+
+def _erf_rng(cfg: InferenceConfig) -> Optional[np.random.Generator]:
+    """Noise source for the ERF probe: seeded when ``cfg.seed`` is set so
+    tile geometry is reproducible across runs and fleet hosts (every host
+    derives the same radius from the same seed), fresh-entropy otherwise
+    (reference model.py:167 behavior)."""
+    return None if cfg.seed is None else np.random.default_rng(cfg.seed)
 
 
 def _inference_streaming(cfg: InferenceConfig, model, variables, predict_fn,
@@ -114,7 +129,8 @@ def _inference_streaming(cfg: InferenceConfig, model, variables, predict_fn,
             print(f"  img.shape={reader.shape}")
             _check_channels(reader.shape, cfg.number_channels, img_filepath)
             if radius is None:
-                radius = estimate_radius(model, variables, cfg.number_channels)
+                radius = estimate_radius(model, variables, cfg.number_channels,
+                                         rng=_erf_rng(cfg))
                 print(f'Estimated radius based on ERF : "{radius}"')
             tile = cfg.tile_size
             if cfg.auto_tile:
@@ -398,7 +414,8 @@ def inference(cfg: InferenceConfig) -> List[str]:
         if img.shape[0] > cfg.tile_size or img.shape[1] > cfg.tile_size:
             _flush_small()
             if radius is None:
-                radius = estimate_radius(model, variables, cfg.number_channels)
+                radius = estimate_radius(model, variables, cfg.number_channels,
+                                         rng=_erf_rng(cfg))
                 print(f'Estimated radius based on ERF : "{radius}"')
             tile = cfg.tile_size
             if cfg.auto_tile:
