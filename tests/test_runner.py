@@ -501,3 +501,53 @@ def test_inference_multihost_stripes_folder(ckpt, tmp_path):
 
     assert written[0] == ["im0.tif", "im2.tif", "im4.tif"]
     assert written[1] == ["im1.tif", "im3.tif"]
+
+
+def test_multihost_int8_calibration_is_deterministic(ckpt, tmp_path, monkeypatch):
+    """Fleet int8 calibration uses the GLOBAL first-K files of the sorted
+    folder, not each host's own stripe: every host derives the identical
+    scale dict, so masks are identical to the single-host run per image
+    (VERDICT r3 item 3 — the repo-wide sharded==unsharded contract)."""
+    import tpuseg.infer.quant as quant
+
+    imgdir = str(tmp_path / "imgs")
+    os.makedirs(imgdir)
+    rng = np.random.default_rng(0)
+    # deliberately different intensity distributions per image so per-stripe
+    # calibration WOULD disagree if it still saw each host's own first files
+    for i, (mu, sig) in enumerate([(500, 40), (2000, 300), (900, 90), (3000, 10)]):
+        imwrite(os.path.join(imgdir, f"im{i}.tif"),
+                np.clip(rng.normal(mu, sig, (96, 80)), 0, 65535).astype(np.uint16))
+
+    recorded = []
+    real_calibrate = quant.calibrate
+
+    def recording_calibrate(*a, **k):
+        ranges = real_calibrate(*a, **k)
+        recorded.append(ranges)
+        return ranges
+
+    monkeypatch.setattr(quant, "calibrate", recording_calibrate)
+
+    def run(outname, me=None, n=None):
+        outdir = str(tmp_path / outname)
+        cfg = InferenceConfig(
+            checkpoint_filepath=ckpt, image_folder=imgdir,
+            output_folder=outdir, number_classes=2, number_channels=1,
+            tile_size=288, radius=96, batch_size=2, dtype="float32",
+            base_features=2, quantize="int8", calibration_images=2,
+            process_index=me, process_count=n)
+        return {os.path.basename(p): imread(p) for p in inference(cfg)}
+
+    single = run("single")
+    host0 = run("h0", me=0, n=2)
+    host1 = run("h1", me=1, n=2)
+
+    # three calibrations, one scale dict: bitwise-equal floats
+    assert len(recorded) == 3
+    assert recorded[0] == recorded[1] == recorded[2]
+    # the striped union covers the folder with pixel-identical masks
+    assert sorted(host0) == ["im0.tif", "im2.tif"]
+    assert sorted(host1) == ["im1.tif", "im3.tif"]
+    for name, mask in {**host0, **host1}.items():
+        np.testing.assert_array_equal(mask, single[name])

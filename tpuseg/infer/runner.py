@@ -343,14 +343,18 @@ def inference(cfg: InferenceConfig) -> List[str]:
         os.path.join(cfg.image_folder, fn)
         for fn in sorted(os.listdir(cfg.image_folder)) if fn.endswith(f".{fmt}")
     ]
+    # int8 calibration inputs are the GLOBAL first-K of the sorted folder —
+    # fixed before host striping, so every fleet host derives identical
+    # activation scales and identical masks per image (sharded == unsharded,
+    # the repo-wide contract; VERDICT r3 item 3). K is small and the folder
+    # is shared, so every host can read them.
+    global_filepath_list = img_filepath_list
     n = cfg.process_count if cfg.process_count is not None else jax.process_count()
     if n > 1:
         # multi-host: images are independent, so each host segments its
         # stride of the sorted folder (the worker-strided walk of
         # imagereader.py:239-241 lifted to hosts) and writes its masks to
-        # the shared output folder under distinct names. Note: int8
-        # calibration then sees each host's own first images — scales may
-        # differ across hosts within the measured-parity envelope.
+        # the shared output folder under distinct names.
         me = cfg.process_index if cfg.process_index is not None else jax.process_index()
         print(f"host {me}/{n}: segmenting {len(img_filepath_list[me::n])} of "
               f"{len(img_filepath_list)} images")
@@ -359,12 +363,17 @@ def inference(cfg: InferenceConfig) -> List[str]:
     model, variables = load_model(cfg)
     calib_cache: dict = {}
     if cfg.quantize == "none" or not img_filepath_list:
-        # empty folder: nothing to predict AND nothing to calibrate on — keep
-        # the fp path's return-[] contract instead of failing in calibration
+        # empty stripe/folder: nothing to predict, so nothing to calibrate
+        # for — keep the fp path's return-[] contract instead of paying (or
+        # failing) calibration
         predict_fn = make_predict_fn(model, variables)
     else:
         predict_fn, calib_cache = _quantized_predict_fn(
-            cfg, model, variables, img_filepath_list)
+            cfg, model, variables, global_filepath_list)
+        # the reuse cache only helps for images THIS host will segment;
+        # drop the rest so their decoded buffers free immediately
+        mine = set(img_filepath_list)
+        calib_cache = {p: v for p, v in calib_cache.items() if p in mine}
 
     mesh = None
     if cfg.data_parallel and jax.local_device_count() > 1:

