@@ -188,3 +188,99 @@ def test_calibrate_mixed_shapes_share_one_geometry():
     single = calibrate(folded, [images[0]])
     both = calibrate(folded, [images[0], images[0]])
     assert single == pytest.approx(both)
+
+
+def test_block_weight_conv_equivalence():
+    """d2s(conv(s2d(x), block(w))) == conv(x, w) with SAME padding, f32 —
+    the structurally-zero taps keep borders exact (quant.py blocking
+    section)."""
+    from jax import lax
+
+    from tpuseg.infer.quant import _block_weight, _d2s, _s2d
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (2, 12, 8, 6)), jnp.float32)
+    w = rng.normal(0, 1, (3, 3, 6, 5)).astype(np.float32)
+    want = lax.conv_general_dilated(
+        x, jnp.asarray(w), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    wb = _block_weight(w, (6,))
+    got = _d2s(lax.conv_general_dilated(
+        _s2d(x), jnp.asarray(wb), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # concat-grouped input channels: same conv, input channels laid out as
+    # two phase-major groups (the dec1a skip/up concat structure)
+    xa, xb = x[..., :4], x[..., 4:]
+    cat_blocked = jnp.concatenate([_s2d(xa), _s2d(xb)], axis=-1)
+    wb2 = _block_weight(w, (4, 2))
+    got2 = _d2s(lax.conv_general_dilated(
+        cat_blocked, jnp.asarray(wb2), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_block_weight_deconv_equivalence():
+    """d2s(conv1x1(x, block_deconv(w))) == conv_transpose(x, w, stride 2,
+    SAME) — pins the lax phase mapping (w[1-dy, 1-dx]) numerically."""
+    from jax import lax
+
+    from tpuseg.infer.quant import _block_weight_deconv, _d2s
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 1, (1, 5, 7, 6)), jnp.float32)
+    w = rng.normal(0, 1, (2, 2, 6, 3)).astype(np.float32)
+    want = lax.conv_transpose(x, jnp.asarray(w), (2, 2), "SAME",
+                              dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    wb = _block_weight_deconv(w, "conv_transpose")
+    got = _d2s(lax.conv_general_dilated(
+        x, jnp.asarray(wb), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["conv_transpose", "pixel_shuffle"])
+def test_blocked_edges_fully_quantized_is_bit_identical(impl):
+    """With every block quantized (fp_blocks=()), the blocked-edge engine is
+    arithmetically identical to the dense int8 path: int8xint8->int32 convs
+    are exact, the blocked weights quantize to the same codes (each original
+    weight appears exactly once per blocked output channel and the scale
+    vectors are uniform per phase), and the epilogues apply the same f32
+    values — so the labels must match BITWISE."""
+    model, variables = _model_and_vars(impl)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (2, 48, 32, 1)), jnp.float32)
+    folded = fold_variables(variables)
+    ranges = calibrate(folded, [rng.normal(0, 1, (48, 32))], deconv_impl=impl)
+    dense = make_quantized_predict_fn(folded, ranges, fp_blocks=(),
+                                      deconv_impl=impl, dtype=jnp.float32)
+    blocked = make_quantized_predict_fn(folded, ranges, fp_blocks=(),
+                                        deconv_impl=impl, dtype=jnp.float32,
+                                        blocked_edges=True)
+    np.testing.assert_array_equal(np.asarray(blocked(x)), np.asarray(dense(x)))
+
+
+def test_blocked_edges_default_fp_blocks_track_dense():
+    """With the shipped fp_blocks (enc1a/head run fp), blocked and dense
+    differ only by f32 summation order inside the fp convs: logits stay
+    close and labels agree almost everywhere."""
+    model, variables = _model_and_vars()
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(0, 1, (2, 48, 32, 1)), jnp.float32)
+    folded = fold_variables(variables)
+    ranges = calibrate(folded, [rng.normal(0, 1, (48, 32))])
+    dense_logits = np.asarray(make_quantized_logits_fn(
+        folded, ranges, dtype=jnp.float32)(x))
+    blocked_logits = np.asarray(make_quantized_logits_fn(
+        folded, ranges, dtype=jnp.float32, blocked_edges=True)(x))
+    np.testing.assert_allclose(blocked_logits, dense_logits,
+                               rtol=1e-3, atol=1e-3)
+    dense_m = np.asarray(make_quantized_predict_fn(
+        folded, ranges, dtype=jnp.float32)(x))
+    blocked_m = np.asarray(make_quantized_predict_fn(
+        folded, ranges, dtype=jnp.float32, blocked_edges=True)(x))
+    assert blocked_m.shape == dense_m.shape and blocked_m.dtype == np.int32
+    assert (blocked_m == dense_m).mean() > 0.999

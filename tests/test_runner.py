@@ -303,6 +303,29 @@ def test_inference_runner_quantized_int8(ckpt, tmp_path, capsys):
         assert (q[name] == fp[name]).mean() > 0.85
 
 
+def test_inference_runner_int8_blocked_matches_int8(ckpt, tmp_path):
+    """--quantize int8_blocked through the full runner produces masks
+    identical to the dense int8 engine (the blocked path is arithmetically
+    the same quantized network — pinned bitwise in test_quant.py)."""
+    imgdir = str(tmp_path / "imgs")
+    _write_corpus(imgdir)
+
+    def run(outname, quantize):
+        outdir = str(tmp_path / outname)
+        cfg = InferenceConfig(
+            checkpoint_filepath=ckpt, image_folder=imgdir,
+            output_folder=outdir,
+            number_classes=2, number_channels=1, tile_size=288, radius=96,
+            batch_size=2, dtype="float32", base_features=2, quantize=quantize)
+        return {os.path.basename(p): imread(p) for p in inference(cfg)}
+
+    dense = run("q8", "int8")
+    blocked = run("q8b", "int8_blocked")
+    assert sorted(blocked) == sorted(dense)
+    for name in dense:
+        np.testing.assert_array_equal(blocked[name], dense[name])
+
+
 def test_inference_runner_quantize_rejects_unknown_mode(ckpt, tmp_path):
     imgdir = str(tmp_path / "imgs")
     _write_corpus(imgdir)

@@ -186,6 +186,104 @@ def _shuffle(y):
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * s, w * s, feats)
 
 
+# --- space-to-depth blocking of the C=64 edge stages (int8_blocked mode) ---
+#
+# int8 NHWC tensors with C=64 pad the 128-lane tile dimension 2x, so the four
+# edge passes (enc1a/enc1b/dec1a/dec1b) stream twice their logical bytes and
+# cap the MXU at half output-lane occupancy — the build-2 trace puts >40% of
+# int8 device time there (BASELINE.md). Blocking runs those stages on dense
+# (H/2, W/2, 4C) tensors: 3x3 convs inflate FLOPs exactly 4x (structurally-
+# zero taps), but dec1up collapses to a dense 1x1 conv (no inflation), pool1
+# becomes a phase-max, and the head is a block-diagonal 1x1 — and every edge
+# tensor halves its HBM bytes. The bf16 *training* trade was measured and
+# rejected (FLOP inflation cancels the bandwidth win, BASELINE.md round 2
+# #3); the int8 *serving* trade is measured separately (VERDICT r3 item 2).
+#
+# Phase convention everywhere: p = dy*2 + dx, blocked channel = p*C + c
+# (phase-major), matching what depth-to-space reshape semantics produce.
+
+def _s2d(x):
+    """Space-to-depth: (B, H, W, C) -> (B, H/2, W/2, 4C), phase-major."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _d2s(x):
+    """Depth-to-space: (B, h, w, 4C) -> (B, 2h, 2w, C), phase-major."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+def _block_weight(w: np.ndarray, cin_groups: Tuple[int, ...]) -> np.ndarray:
+    """Blocked equivalent of an odd conv kernel: ``conv(x, w) == d2s(conv(
+    s2d(x), wb))`` with SAME padding on both sides (the extra padded original
+    rows/cols land on structurally-zero taps, so borders stay exact).
+
+    ``cin_groups`` describes the concat structure of the input channels:
+    each group is independently phase-major in the blocked layout (a blocked
+    concat of two s2d tensors keeps each group's phases together), so the
+    blocked input index of (phase pi, original ci in group g) is
+    ``4*start_g + pi*size_g + (ci - start_g)``.
+    """
+    kh, kw, cin, cout = w.shape
+    if kh % 2 != 1 or kw % 2 != 1:
+        raise ValueError(f"blocking expects odd kernels, got {kh}x{kw}")
+    entries = []
+    for po_y in range(2):
+        for po_x in range(2):
+            po = po_y * 2 + po_x
+            for ky in range(kh):
+                for kx in range(kw):
+                    iy = po_y + ky - kh // 2  # original row offset from 2i
+                    ix = po_x + kx - kw // 2
+                    entries.append((iy // 2, ix // 2, iy % 2 * 2 + ix % 2,
+                                    ky, kx, po))
+    qy_min = min(e[0] for e in entries)
+    qx_min = min(e[1] for e in entries)
+    KH = max(e[0] for e in entries) - qy_min + 1
+    KW = max(e[1] for e in entries) - qx_min + 1
+    # SAME alignment requires the blocked kernel centered and odd
+    assert KH % 2 == 1 and KW % 2 == 1 and qy_min == -(KH // 2) \
+        and qx_min == -(KW // 2), (KH, KW, qy_min, qx_min)
+    starts = np.concatenate([[0], np.cumsum(cin_groups)])
+    assert starts[-1] == cin, (cin_groups, cin)
+
+    def bidx(pi: int, ci: int) -> int:
+        g = int(np.searchsorted(starts, ci, side="right")) - 1
+        return int(4 * starts[g] + pi * cin_groups[g] + (ci - starts[g]))
+
+    wb = np.zeros((KH, KW, 4 * cin, 4 * cout), np.float32)
+    for (qy, qx, pi, ky, kx, po) in entries:
+        for ci in range(cin):
+            wb[qy - qy_min, qx - qx_min, bidx(pi, ci),
+               po * cout:(po + 1) * cout] = w[ky, kx, ci]
+    return wb
+
+
+def _block_weight_deconv(w: np.ndarray, impl: str) -> np.ndarray:
+    """Blocked 2x stride-2 deconv == a dense 1x1 conv emitting phase-major
+    blocked channels: ``conv_transpose(x, w, s=2) == d2s(conv1x1(x, wb))``.
+
+    conv_transpose places ``x[i,j] @ w[1-dy, 1-dx]`` at output phase
+    (dy, dx) (lax SAME k2s2 semantics, pinned numerically in
+    tests/test_quant.py); pixel_shuffle's 1x1 kernel already emits
+    phase-major channels (the _shuffle reshape order), so it passes through.
+    """
+    if impl == "pixel_shuffle":
+        return np.asarray(w)
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (POOLING_STRIDE, POOLING_STRIDE), (kh, kw)
+    wb = np.zeros((1, 1, cin, 4 * cout), w.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            po = dy * 2 + dx
+            wb[0, 0, :, po * cout:(po + 1) * cout] = w[1 - dy, 1 - dx]
+    return wb
+
+
 def _deconv(x, w, impl, acc_dtype):
     if impl == "pixel_shuffle":
         # 1x1 conv to 4*features + depth-to-space (models/unet.py DeconvBlock)
@@ -316,19 +414,16 @@ def calibrate(folded: Dict[str, Dict[str, np.ndarray]],
     return {k: agg(vs) for k, vs in per_image.items()}
 
 
-def make_quantized_logits_fn(folded: Dict[str, Dict[str, np.ndarray]],
-                             act_ranges: Dict[str, float],
-                             fp_blocks: Sequence[str] = DEFAULT_FP_BLOCKS,
-                             deconv_impl: str = "conv_transpose",
-                             dtype=jnp.bfloat16) -> Callable[[jax.Array], jax.Array]:
-    """Jitted NHWC batch -> f32 logits through the int8-resident graph.
-
-    Every inter-block edge is ``(int8 payload, static per-channel scale
-    vector)``; weight folding/quantization runs on the static scales at
-    trace time (numpy — the int8 weights compile in as program constants).
-    Blocks in ``fp_blocks`` run their conv in ``dtype`` on dequantized
-    input but still emit int8 from their epilogue.  The head emits f32
-    logits (its epilogue feeds argmax / softmax, never another conv).
+def _quantized_raw_fn(folded: Dict[str, Dict[str, np.ndarray]],
+                      act_ranges: Dict[str, float],
+                      fp_blocks: Sequence[str],
+                      deconv_impl: str,
+                      dtype,
+                      blocked_edges: bool) -> Callable[[jax.Array], jax.Array]:
+    """The (unjitted) int8-resident forward shared by the logits and predict
+    entry points.  Returns plain f32 logits ``(B, H, W, ncls)``, or — with
+    ``blocked_edges`` — phase-major blocked logits ``(B, H/2, W/2, 4*ncls)``
+    (callers depth-to-space the logits, or argmax per phase first).
     """
     unknown = set(fp_blocks) - set(CONV_BLOCKS) - set(DECONV_BLOCKS)
     if unknown:
@@ -405,9 +500,136 @@ def make_quantized_logits_fn(folded: Dict[str, Dict[str, np.ndarray]],
         # absorb the concatenated per-channel scale vector
         return jnp.concatenate([xa, xb], axis=-1), np.concatenate([sa, sb])
 
+    if not blocked_edges:
+        def logits_fn(batch):
+            return _unet_walk((batch, None), conv_block, deconv_block, pool,
+                              concat)
+        return logits_fn
+
+    # ---- blocked-edge walk: the C=64 stages run on dense (H/2, W/2, 4C)
+    # tensors, the pyramid middle (enc2 .. dec2) runs the plain closures ----
+
+    def blocked_conv_block(name, edge, cin_groups):
+        x, sv = edge
+        w = folded[name]["w"]
+        wb = _block_weight(w, cin_groups)
+        b4 = jnp.asarray(np.tile(folded[name]["b"], 4))
+        s4 = jnp.asarray(np.tile(folded[name]["s"], 4))
+        t4 = jnp.asarray(np.tile(folded[name]["t"], 4))
+        if name in fp_blocks:
+            xf = x if sv is None else dequant(x, sv)
+            y = _conv_fp(xf, jnp.asarray(wb), dtype)
+        else:
+            wq, wscale = quantize_weight(wb, sv)
+            y = _conv_s8(x, jnp.asarray(wq)).astype(jnp.float32) * wscale
+        y = jnp.maximum(y + b4, 0.0) * s4 + t4
+        if name == "head":
+            return y.astype(jnp.float32)  # blocked logits
+        return emit(y, name, 4 * w.shape[-1])
+
+    def blocked_deconv_block(name, edge):
+        """Dense (H/2) input -> blocked output via a 1x1 conv: zero FLOP
+        inflation AND dense lanes on both sides (the one stage blocking
+        makes strictly cheaper)."""
+        x, sv = edge
+        w = folded[name]["w"]
+        s4 = jnp.asarray(np.tile(folded[name]["s"], 4))
+        t4 = jnp.asarray(np.tile(folded[name]["t"], 4))
+        if name in fp_blocks:
+            xf = x if sv is None else dequant(x, sv)
+            wb = _block_weight_deconv(np.asarray(w, np.float32), deconv_impl)
+            y = _conv_fp(xf, jnp.asarray(wb), dtype).astype(jnp.float32)
+            cout4 = wb.shape[-1]
+        else:
+            # quantize the DENSE kernel first, then reorder its int8 codes
+            # into blocked layout: the per-output-channel amax then spans
+            # all 2x2 taps exactly as in the dense engine, so the blocked
+            # path stays arithmetically identical to it (per-phase amax
+            # would be finer — different codes, different pixels)
+            wq, wscale = quantize_weight(w, sv)
+            wqb = _block_weight_deconv(wq, deconv_impl)
+            if deconv_impl != "pixel_shuffle":
+                wscale = np.tile(wscale, 4)
+            y = _conv_s8(x, jnp.asarray(wqb)).astype(jnp.float32) * wscale
+            cout4 = wqb.shape[-1]
+        y = y * s4 + t4
+        return emit(y, name, cout4)
+
+    def phase_max(edge):
+        """pool1 on the blocked layout: max over the 4 phases per blocked
+        pixel — exactly maxpool 2x2/2, with the reduce_window replaced by a
+        reshape-max. Valid on int8 payloads because every phase shares the
+        block's scalar output scale."""
+        x, sv = edge
+        b, h, w, c4 = x.shape
+        c = c4 // 4
+        return jnp.max(x.reshape(b, h, w, 4, c), axis=3), sv[:c]
+
+    def quantize_input(batch):
+        si = np.float32(max(act_ranges[INPUT_TAP], 1e-12) / 127.0)
+        q = jnp.clip(jnp.round(batch.astype(jnp.float32) / si),
+                     -127, 127).astype(jnp.int8)
+        return q, si
+
+    def blocked_logits_fn(batch):
+        nc = batch.shape[-1]
+        if "enc1a" in fp_blocks:
+            edge = (_s2d(batch).astype(dtype), None)
+        else:
+            q, si = quantize_input(batch)
+            edge = (_s2d(q), np.full(4 * nc, si, np.float32))
+        f = folded["enc1b"]["w"].shape[2]  # base feature width
+        enc1 = blocked_conv_block(
+            "enc1b", blocked_conv_block("enc1a", edge, (nc,)), (f,))
+        x = phase_max(enc1)
+
+        def pair(name, x):
+            return conv_block(f"{name}b", conv_block(f"{name}a", x))
+
+        enc2 = pair("enc2", x)
+        enc3 = pair("enc3", pool(enc2))
+        enc4 = pair("enc4", pool(enc3))
+        bott = pair("bottleneck", pool(enc4))
+        dec4 = pair("dec4", concat(enc4, deconv_block("dec4up", bott)))
+        dec3 = pair("dec3", concat(enc3, deconv_block("dec3up", dec4)))
+        dec2 = pair("dec2", concat(enc2, deconv_block("dec2up", dec3)))
+        up1 = blocked_deconv_block("dec1up", dec2)
+        cat = (jnp.concatenate([enc1[0], up1[0]], axis=-1),
+               np.concatenate([enc1[1], up1[1]]))
+        d1 = blocked_conv_block(
+            "dec1b", blocked_conv_block("dec1a", cat, (f, f)), (f,))
+        return blocked_conv_block("head", d1, (f,))
+
+    return blocked_logits_fn
+
+
+def make_quantized_logits_fn(folded: Dict[str, Dict[str, np.ndarray]],
+                             act_ranges: Dict[str, float],
+                             fp_blocks: Sequence[str] = DEFAULT_FP_BLOCKS,
+                             deconv_impl: str = "conv_transpose",
+                             dtype=jnp.bfloat16,
+                             blocked_edges: bool = False,
+                             ) -> Callable[[jax.Array], jax.Array]:
+    """Jitted NHWC batch -> f32 logits through the int8-resident graph.
+
+    Every inter-block edge is ``(int8 tensor, static per-channel scale
+    vector)``; weight folding/quantization runs on the static scales at
+    trace time (numpy — the int8 weights compile in as program constants).
+    Blocks in ``fp_blocks`` run their conv in ``dtype`` on dequantized
+    input but still emit int8 from their epilogue.  The head emits f32
+    logits (its epilogue feeds argmax / softmax, never another conv).
+
+    ``blocked_edges`` runs the C=64 edge stages space-to-depth-blocked on
+    dense (H/2, W/2, 4C) tensors (see the blocking section above); logits
+    are depth-to-spaced back, so the contract is unchanged.
+    """
+    raw = _quantized_raw_fn(folded, act_ranges, fp_blocks, deconv_impl,
+                            dtype, blocked_edges)
+
     @jax.jit
     def logits_fn(batch):
-        return _unet_walk((batch, None), conv_block, deconv_block, pool, concat)
+        out = raw(batch)
+        return _d2s(out) if blocked_edges else out
 
     return logits_fn
 
@@ -415,18 +637,29 @@ def make_quantized_logits_fn(folded: Dict[str, Dict[str, np.ndarray]],
 def make_quantized_predict_fn(folded, act_ranges,
                               fp_blocks: Sequence[str] = DEFAULT_FP_BLOCKS,
                               deconv_impl: str = "conv_transpose",
-                              dtype=jnp.bfloat16) -> Callable[[jax.Array], jax.Array]:
+                              dtype=jnp.bfloat16,
+                              blocked_edges: bool = False,
+                              ) -> Callable[[jax.Array], jax.Array]:
     """Serving entry point: jitted NHWC batch -> int32 argmax labels.
 
     Same contract as ``tiled.make_predict_fn`` so every inference engine
     (tiled, streaming, batched small images) runs the int8 path unchanged.
+    With ``blocked_edges`` the argmax runs per phase on the blocked logits
+    and only the int32 labels are depth-to-spaced — the full-resolution f32
+    logits tensor is never materialized.
     """
-    logits_fn = make_quantized_logits_fn(folded, act_ranges, fp_blocks,
-                                         deconv_impl, dtype)
+    raw = _quantized_raw_fn(folded, act_ranges, fp_blocks, deconv_impl,
+                            dtype, blocked_edges)
 
     @jax.jit
     def predict(batch):
-        return jnp.argmax(logits_fn(batch), axis=-1).astype(jnp.int32)
+        out = raw(batch)
+        if not blocked_edges:
+            return jnp.argmax(out, axis=-1).astype(jnp.int32)
+        b, h, w, c4 = out.shape
+        lbl = jnp.argmax(out.reshape(b, h, w, 4, c4 // 4), axis=-1)
+        # lbl is (b, h, w, 4) = blocked labels with C=1 per phase
+        return _d2s(lbl.astype(jnp.int32))[..., 0]
 
     return predict
 
@@ -434,10 +667,12 @@ def make_quantized_predict_fn(folded, act_ranges,
 def quantized_predict_from_checkpoint(
         model: UNet, variables, calib_images: List[np.ndarray],
         fp_blocks: Sequence[str] = DEFAULT_FP_BLOCKS,
-        percentile: float = DEFAULT_PERCENTILE):
+        percentile: float = DEFAULT_PERCENTILE,
+        blocked_edges: bool = False):
     """One-call serving path: fold, calibrate, build the int8 predict_fn."""
     folded = fold_variables(variables)
     ranges = calibrate(folded, calib_images, deconv_impl=model.deconv_impl,
                        percentile=percentile)
     return make_quantized_predict_fn(folded, ranges, fp_blocks=fp_blocks,
-                                     deconv_impl=model.deconv_impl)
+                                     deconv_impl=model.deconv_impl,
+                                     blocked_edges=blocked_edges)

@@ -65,7 +65,9 @@ class InferenceConfig:
     # "int8": post-training-quantized serving path (infer/quant.py) — conv
     # matmuls run int8 on the MXU after activation-range calibration on the
     # first `calibration_images` inputs; masks are near-identical to fp
-    # (argmax-stable away from decision boundaries), measured in BASELINE.md
+    # (argmax-stable away from decision boundaries), measured in BASELINE.md.
+    # "int8_blocked" additionally runs the C=64 edge stages space-to-depth-
+    # blocked on dense (H/2, W/2, 4C) tensors (quant.py blocking section)
     quantize: str = "none"
     calibration_images: int = 4
     # host identity for multi-host folder striping (None = ask jax);
@@ -200,8 +202,9 @@ def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
     inference pass reuses the work calibration already paid: streaming
     slides skip their second full-slide stats scan, in-RAM images skip the
     re-decode (up to ``_CALIB_CACHE_BYTES`` total)."""
-    if cfg.quantize != "int8":
-        raise ValueError(f'unknown quantize mode "{cfg.quantize}" (use "none" or "int8")')
+    if cfg.quantize not in ("int8", "int8_blocked"):
+        raise ValueError(f'unknown quantize mode "{cfg.quantize}" '
+                         '(use "none", "int8" or "int8_blocked")')
     from tpuseg.infer.quant import quantized_predict_from_checkpoint
     from tpuseg.utils.bigtiff import BigTiffReader
 
@@ -256,7 +259,8 @@ def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
         calib.append((crop - mean) / safe_std)
     print(f"quantize=int8: calibrating on {len(calib)} image(s) at {ch}x{cw}")
     predict_fn = quantized_predict_from_checkpoint(
-        model, variables, calib, percentile=cfg.calibration_percentile)
+        model, variables, calib, percentile=cfg.calibration_percentile,
+        blocked_edges=cfg.quantize == "int8_blocked")
     return predict_fn, calib_cache
 
 
@@ -326,8 +330,9 @@ def inference(cfg: InferenceConfig) -> List[str]:
     # validate before any side effects: argparse guards the CLI but library
     # callers can pass any string, and an empty image folder used to let a
     # bad mode silently return [] (review r3)
-    if cfg.quantize not in ("none", "int8"):
-        raise ValueError(f'unknown quantize mode "{cfg.quantize}" (use "none" or "int8")')
+    if cfg.quantize not in ("none", "int8", "int8_blocked"):
+        raise ValueError(f'unknown quantize mode "{cfg.quantize}" '
+                         '(use "none", "int8" or "int8_blocked")')
 
     print("Arguments:")
     print(f"checkpoint_filepath = {cfg.checkpoint_filepath}")
