@@ -334,7 +334,19 @@ def bench_stream(hw: int = 8192):
     """Whole-slide streaming vs in-RAM inference on the same synthetic slide
     (VERDICT r3 item 5): both paths read a tiled BigTIFF from disk, segment
     it with identical stats/geometry, and write the mask — apples-to-apples
-    end-to-end MP/s, plus a pixel-equality check between the two masks."""
+    end-to-end MP/s, plus a mask-agreement check between the two masks.
+
+    Agreement is reported as a fraction, not a strict bool: tiles that take
+    different batch shapes between the two paths (the in-RAM program batches
+    tiles row-major across the whole grid, so its tile count's remainder can
+    run as a small batch; the streaming row program batches per zone row)
+    compile to different XLA programs whose bf16 accumulation differs by
+    ~1e-3 in logits — enough to flip argmax at near-tie pixels of this
+    random-init bench model (measured: 7.8e-5 of pixels, confined to the
+    corner tile that runs batch-1 in-RAM vs batch-8 streamed; flipped pixels
+    had logit margins <=0.0012 vs 0.028 median). A trained checkpoint's
+    margins dwarf this, and on CPU (fp32 programs) the paths are bit-equal
+    (tests/test_streaming.py pins it)."""
     import os
     import tempfile
 
@@ -397,7 +409,7 @@ def bench_stream(hw: int = 8192):
         with BigTiffReader(out_s) as ms, BigTiffReader(out_r) as mr:
             a = ms.read_region(0, 0, ms.height, ms.width)
             b = mr.read_region(0, 0, mr.height, mr.width)
-            equal = bool((a == b).all())
+            agreement = float((a == b).mean())
 
     print(json.dumps({
         "metric": f"unet_streaming_inference_{hw}px",
@@ -405,7 +417,9 @@ def bench_stream(hw: int = 8192):
         "unit": "MP/sec/chip",
         "vs_baseline": round(dt_ram / dt_stream, 3),  # >=1: streaming not slower
         "in_ram_MP_per_sec": round(mp / dt_ram, 2),
-        "masks_pixel_equal": equal,
+        # 1.0 on CPU; on TPU >=0.9999 — remainder-batch-shape bf16 tie flips
+        # on a random-init model (see docstring), not a geometry difference
+        "mask_agreement": round(agreement, 6),
         "slide_MB": round(hw * hw * 2 / 1e6, 1),
     }))
 

@@ -559,7 +559,16 @@ def inference_tiled_streaming(
     ``norm_stats`` defaults to the reader's single-pass streaming statistics
     (float64 accumulation of the imagereader.py:33-66 formulas). On images
     where both paths fit in RAM, outputs match :func:`inference_tiled`
-    exactly when given equal stats (tested).
+    exactly when given equal stats (tested on the CPU mesh). One TPU-bf16
+    caveat: a tile that takes a *different batch shape* in the two paths
+    (the in-RAM program batches tiles row-major over the whole grid and may
+    run its remainder as a small batch; this path batches per zone row)
+    compiles to a different XLA program whose bf16 accumulation differs by
+    ~1e-3 in logits, which can flip argmax at genuine near-tie pixels —
+    measured 7.8e-5 of pixels on a random-init model, confined to the
+    batch-1-remainder corner tile, flipped margins <=0.0012 vs 0.028
+    median (``bench.py --stream`` reports the agreement fraction). Trained
+    checkpoints' margins dwarf this noise.
 
     Returns ``out_path``.
     """
@@ -619,6 +628,18 @@ def inference_tiled_streaming(
                                tile=(zor, zor), level=compression_level)
     strip = None  # device-resident (tile, width, C) window of the slide
     done = 0
+
+    def write_band(band_dev):
+        nonlocal done
+        band = np.asarray(band_dev)  # device->host sync point
+        for j in range(0, width, zor):
+            writer.put_tile(band[:, j:min(j + zor, width)].astype(out_dtype))
+        done += n_cols
+        if progress:
+            print(f"  streamed {done}/{len(rows) * n_cols} zones", flush=True)
+
+    pending = None  # one dispatched-but-unread band: row k's download +
+    # zlib + write overlap row k+1's device compute (dispatch is async)
     try:
         for (_, band_h, y_off, _), new in zip(
                 rows, prefetch_iter(fresh_rows(), maxsize=1,
@@ -629,12 +650,12 @@ def inference_tiled_streaming(
             run_row = _strip_row_program(predict_fn, tile_size, radius,
                                          batch_size, width, band_h, y_off,
                                          mesh, shrink)
-            band = np.asarray(run_row(strip, dmean, dstd))
-            for j in range(0, width, zor):
-                writer.put_tile(band[:, j:min(j + zor, width)].astype(out_dtype))
-            done += n_cols
-            if progress:
-                print(f"  streamed {done}/{len(rows) * n_cols} zones", flush=True)
+            band_dev = run_row(strip, dmean, dstd)
+            if pending is not None:
+                write_band(pending)
+            pending = band_dev
+        if pending is not None:
+            write_band(pending)
         writer.close()
     except BaseException:
         writer.abort()
