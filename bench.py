@@ -346,7 +346,7 @@ def bench_stream(hw: int = 8192):
     corner tile that runs batch-1 in-RAM vs batch-8 streamed; flipped pixels
     had logit margins <=0.0012 vs 0.028 median). A trained checkpoint's
     margins dwarf this, and on CPU (fp32 programs) the paths are bit-equal
-    (tests/test_streaming.py pins it)."""
+    (tests/test_inference.py::test_streaming_matches_in_ram_tiled pins it)."""
     import os
     import tempfile
 

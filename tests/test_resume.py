@@ -111,6 +111,12 @@ def test_resume_fresh_output_dir_restores_history_from_checkpoint(dbs, tmp_path)
     assert len(r2.test_loss) == 3
     assert r2.test_loss[:2] == pytest.approx(r1.test_loss)
     # best-checkpoint selection competed against the full history: a
-    # non-improving epoch writes NO checkpoint into the fresh dir
+    # non-improving epoch writes NO checkpoint into the fresh dir — and the
+    # result then points back at the resume checkpoint (the actual best)
+    # instead of a fresh-dir path that was never written
     if r2.test_loss[2] > min(r2.test_loss[:2]):
         assert not os.path.exists(os.path.join(out2, "checkpoint"))
+        assert r2.checkpoint_path == r1.checkpoint_path
+    else:
+        assert r2.checkpoint_path.startswith(out2)
+        assert os.path.exists(os.path.join(out2, "checkpoint"))

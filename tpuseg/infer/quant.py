@@ -446,6 +446,15 @@ def _quantized_raw_fn(folded: Dict[str, Dict[str, np.ndarray]],
     def dequant(x, sv):
         return (x.astype(jnp.float32) * jnp.asarray(sv)).astype(dtype)
 
+    def quantize_input(batch):
+        """On-the-fly int8 quantization of the fp network input — the one
+        INPUT_TAP codepath shared by the dense and blocked walks (their
+        bitwise-identity contract depends on it staying single-sourced)."""
+        si = np.float32(max(act_ranges[INPUT_TAP], 1e-12) / 127.0)
+        q = jnp.clip(jnp.round(batch.astype(jnp.float32) / si),
+                     -127, 127).astype(jnp.int8)
+        return q, si
+
     def conv_block(name, edge):
         x, sv = edge
         p = fold_dev[name]
@@ -455,9 +464,7 @@ def _quantized_raw_fn(folded: Dict[str, Dict[str, np.ndarray]],
             y = _conv_fp(xf, p["w"], dtype)
         else:
             if sv is None:  # quantize the fp network input on the fly
-                si = np.float32(max(act_ranges[INPUT_TAP], 1e-12) / 127.0)
-                x = jnp.clip(jnp.round(x.astype(jnp.float32) / si),
-                             -127, 127).astype(jnp.int8)
+                x, si = quantize_input(x)
                 sv = np.full(w.shape[-2], si, np.float32)
             wq, wscale = quantize_weight(w, sv)
             y = _conv_s8(x, jnp.asarray(wq)).astype(jnp.float32) * wscale
@@ -564,12 +571,6 @@ def _quantized_raw_fn(folded: Dict[str, Dict[str, np.ndarray]],
         b, h, w, c4 = x.shape
         c = c4 // 4
         return jnp.max(x.reshape(b, h, w, 4, c), axis=3), sv[:c]
-
-    def quantize_input(batch):
-        si = np.float32(max(act_ranges[INPUT_TAP], 1e-12) / 127.0)
-        q = jnp.clip(jnp.round(batch.astype(jnp.float32) / si),
-                     -127, 127).astype(jnp.int8)
-        return q, si
 
     def blocked_logits_fn(batch):
         nc = batch.shape[-1]

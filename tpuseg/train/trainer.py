@@ -61,7 +61,12 @@ class TrainConfig:
     seed: Optional[int] = None
     augment_params: AugmentParams = field(default_factory=AugmentParams)
     warmup_steps_cap: int = 1000  # train.py:127
-    max_epochs: Optional[int] = None  # safety valve absent in the reference
+    # Safety valve absent in the reference: caps TOTAL epochs INCLUDING any
+    # resumed test-loss history (epoch numbering continues across resumes),
+    # except a resumed invocation always runs at least one new epoch — a
+    # train_model call that starts readers and compiles but trains nothing
+    # would be a worse surprise than one extra epoch.
+    max_epochs: Optional[int] = None
     dtype: str = "bfloat16"
     base_features: int = 64  # reference _BASELINE_FEATURE_DEPTH (model.py:20)
     # TPU fast path: readers ship raw uint samples; augmentation/zscore/one-hot
@@ -361,6 +366,7 @@ def train_model(config: TrainConfig) -> TrainResult:
         # warmup epoch — the restored optimizer is already warm
         epoch = len(resumed_history)
         best_epoch = 0
+        saved_checkpoint = False
         final_train_loss = float("nan")
         ckpt_writer = AsyncCheckpointWriter()
         meter = ThroughputMeter()
@@ -488,6 +494,7 @@ def train_model(config: TrainConfig) -> TrainResult:
                     and (len(test_loss) - 1) == int(np.nanargmin(test_loss))):
                 print(f"Test loss improved: {np.nanmin(test_loss)}, saving checkpoint")
                 ckpt_writer.save(checkpoint_path, state)
+                saved_checkpoint = True
 
             # early stopping (train.py:187-199)
             print("Best Current Epoch Selection:")
@@ -506,6 +513,10 @@ def train_model(config: TrainConfig) -> TrainResult:
             if len(test_loss) - best_epoch > cfg.early_stopping_count:
                 break
             if cfg.max_epochs is not None and epoch + 1 >= cfg.max_epochs:
+                if resumed_history:
+                    print(f"max_epochs={cfg.max_epochs} reached — the cap "
+                          f"counts TOTAL epochs including the "
+                          f"{len(resumed_history)} resumed from history")
                 break
             epoch += 1
     finally:
@@ -535,6 +546,19 @@ def train_model(config: TrainConfig) -> TrainResult:
             test_reader.shutdown()
             train_writer.close()
             test_writer.close()
+
+    if not saved_checkpoint:
+        # no epoch won best-checkpoint selection, so nothing was written to
+        # this run's output dir — returning that path would hand callers
+        # (chained resumes, inference scripts) a file that does not exist.
+        if cfg.resume_checkpoint:
+            print("No epoch improved on the resumed history — "
+                  "TrainResult.checkpoint_path points at the resume "
+                  "checkpoint, which remains the best")
+            checkpoint_path = cfg.resume_checkpoint
+        else:
+            print(f"WARNING: no checkpoint was written this run; "
+                  f"{checkpoint_path} does not exist")
 
     return TrainResult(
         test_loss=test_loss,
