@@ -366,6 +366,11 @@ def test_inference_runner_streaming_quantized(ckpt, tmp_path, capsys):
     assert q.shape == fp.shape == (400, 330)
     assert set(np.unique(q)) <= {0, 1}
     assert (q == fp).mean() > 0.85  # random-init model: near-tie flips only
+    # the recommended production combo: streamed whole-slide + blocked int8
+    # serving — bit-identical to the dense int8 engine through the rolling
+    # strip too (same predict_fn contract, same int8 codes)
+    qb = run("qb", "int8_blocked")
+    np.testing.assert_array_equal(qb, q)
 
 
 def test_inference_runner_quantized_empty_folder(ckpt, tmp_path):
