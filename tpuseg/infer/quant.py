@@ -421,13 +421,9 @@ def _quantized_raw_fn(folded: Dict[str, Dict[str, np.ndarray]],
                       dtype,
                       blocked_edges: bool) -> Callable[[jax.Array], jax.Array]:
     """The (unjitted) int8-resident forward shared by the logits and predict
-    entry points.  Returns plain f32 logits ``(B, H, W, ncls)`` in BOTH
-    modes: the blocked walk depth-to-spaces the int8 dec1b activations back
-    to dense BEFORE the head, so the head runs the dense engine's subgraph
-    (whose conv+epilogue+argmax XLA fuses into one pass emitting labels
-    directly).  A blocked head would materialize ``(B, H/2, W/2, 4*ncls)``
-    f32 logits whose tiny channel count lane-pads 16x on TPU — traced at
-    ~18% of int8_blocked device time before this rewire (BASELINE.md r4).
+    entry points.  Returns plain f32 logits ``(B, H, W, ncls)``, or — with
+    ``blocked_edges`` — phase-major blocked logits ``(B, H/2, W/2, 4*ncls)``
+    (callers depth-to-space the logits, or argmax per phase first).
     """
     unknown = set(fp_blocks) - set(CONV_BLOCKS) - set(DECONV_BLOCKS)
     if unknown:
@@ -534,6 +530,8 @@ def _quantized_raw_fn(folded: Dict[str, Dict[str, np.ndarray]],
             wq, wscale = quantize_weight(wb, sv)
             y = _conv_s8(x, jnp.asarray(wq)).astype(jnp.float32) * wscale
         y = jnp.maximum(y + b4, 0.0) * s4 + t4
+        if name == "head":
+            return y.astype(jnp.float32)  # blocked logits
         return emit(y, name, 4 * w.shape[-1])
 
     def blocked_deconv_block(name, edge):
@@ -599,14 +597,9 @@ def _quantized_raw_fn(folded: Dict[str, Dict[str, np.ndarray]],
         up1 = blocked_deconv_block("dec1up", dec2)
         cat = (jnp.concatenate([enc1[0], up1[0]], axis=-1),
                np.concatenate([enc1[1], up1[1]]))
-        d1x, d1sv = blocked_conv_block(
+        d1 = blocked_conv_block(
             "dec1b", blocked_conv_block("dec1a", cat, (f, f)), (f,))
-        # depth-to-space the int8 activations back to dense BEFORE the head:
-        # phases share one uniform scale (emit always returns np.full), so
-        # sv[:f] is the exact dense per-channel vector, and the head runs
-        # the dense engine's fused conv+argmax subgraph instead of emitting
-        # 16x-lane-padded blocked logits (see _quantized_raw_fn docstring)
-        return conv_block("head", (_d2s(d1x), d1sv[:f]))
+        return blocked_conv_block("head", d1, (f,))
 
     return blocked_logits_fn
 
@@ -628,13 +621,18 @@ def make_quantized_logits_fn(folded: Dict[str, Dict[str, np.ndarray]],
     logits (its epilogue feeds argmax / softmax, never another conv).
 
     ``blocked_edges`` runs the C=64 edge stages space-to-depth-blocked on
-    dense (H/2, W/2, 4C) tensors (see the blocking section above); the walk
-    returns to the dense layout before the head, so the contract is
-    unchanged.
+    dense (H/2, W/2, 4C) tensors (see the blocking section above); logits
+    are depth-to-spaced back, so the contract is unchanged.
     """
     raw = _quantized_raw_fn(folded, act_ranges, fp_blocks, deconv_impl,
                             dtype, blocked_edges)
-    return jax.jit(raw)
+
+    @jax.jit
+    def logits_fn(batch):
+        out = raw(batch)
+        return _d2s(out) if blocked_edges else out
+
+    return logits_fn
 
 
 def make_quantized_predict_fn(folded, act_ranges,
@@ -647,16 +645,22 @@ def make_quantized_predict_fn(folded, act_ranges,
 
     Same contract as ``tiled.make_predict_fn`` so every inference engine
     (tiled, streaming, batched small images) runs the int8 path unchanged.
-    Both modes end in the dense head subgraph, so XLA fuses the head conv,
-    its epilogue, and this argmax into one pass emitting the s32 labels —
-    the f32 logits tensor is never materialized in HBM.
+    With ``blocked_edges`` the argmax runs per phase on the blocked logits
+    and only the int32 labels are depth-to-spaced — the full-resolution f32
+    logits tensor is never materialized.
     """
     raw = _quantized_raw_fn(folded, act_ranges, fp_blocks, deconv_impl,
                             dtype, blocked_edges)
 
     @jax.jit
     def predict(batch):
-        return jnp.argmax(raw(batch), axis=-1).astype(jnp.int32)
+        out = raw(batch)
+        if not blocked_edges:
+            return jnp.argmax(out, axis=-1).astype(jnp.int32)
+        b, h, w, c4 = out.shape
+        lbl = jnp.argmax(out.reshape(b, h, w, 4, c4 // 4), axis=-1)
+        # lbl is (b, h, w, 4) = blocked labels with C=1 per phase
+        return _d2s(lbl.astype(jnp.int32))[..., 0]
 
     return predict
 
