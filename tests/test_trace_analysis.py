@@ -111,3 +111,32 @@ def test_analyze_sums_all_device_planes(tmp_path):
     assert top["%fusion.1"] == pytest.approx(40.0)
     assert top["%all-reduce.2"] == pytest.approx(8.0)
     assert r["categories"]["collective"] == pytest.approx(8.0)
+
+
+def test_analyze_excludes_control_flow_spans(tmp_path):
+    """A while/conditional event spans its whole body on the device
+    timeline while the body's ops are traced as their own events — summing
+    both double-counted every loop body (observed: the tiled-inference
+    chunk loop reported ~2x real device time). Spans are reported
+    separately, never summed into totals."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    from tpuseg.utils.trace_analysis import is_control_flow_span
+
+    xs = xplane_pb2.XSpace()
+    _plane(xs, "/device:TPU:0", {
+        "%while.2 = (s32[]{:T(128)}) while(...)": 50.0,  # spans the two below
+        "%fusion.1": 30.0,
+        "%fusion.9 = f32[8] fusion(...), conditional=...": 20.0,
+    })
+    d = tmp_path / "prof"
+    d.mkdir()
+    (d / "host.xplane.pb").write_bytes(xs.SerializeToString())
+
+    r = analyze(str(d))
+    assert r["total_ms"] == pytest.approx(50.0)
+    assert r["control_flow_ms"] == pytest.approx(50.0)
+    assert all("while" not in name for _, _, name in r["top_ops"])
+    # a fusion whose text merely mentions control flow is NOT a span
+    assert not is_control_flow_span("%fusion.9 = f32[8] fusion(...)")
+    assert is_control_flow_span("%body = (f32[2]) conditional(%p, %t, %f)")

@@ -31,6 +31,20 @@ from typing import Dict, List, Optional, Tuple
 _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter", "collective-permute")
 
 
+def is_control_flow_span(name: str) -> bool:
+    """True for while/conditional trace events.  These span their whole body
+    on the device timeline, and the body's ops are traced as their OWN
+    events on the same line — summing both double-counts every loop body
+    (observed on the tiled-inference program, whose lax.map chunk loop is a
+    single ``%while`` covering ~half the raw event time).  ``name`` is the
+    HLO definition text; the instruction's default name carries its opcode
+    (``%while.2 = (...) while(...)``), and a renamed instruction still has
+    the opcode before its operand list."""
+    inst = name.split(" = ", 1)[0]
+    return (inst.startswith(("%while", "%conditional"))
+            or " while(" in name or " conditional(" in name)
+
+
 def classify_op(name: str, tf_op: str = "") -> str:
     """Category for one XLA op: ``name`` is the HLO definition text,
     ``tf_op`` the jax op path from trace metadata (e.g.
@@ -89,6 +103,7 @@ def analyze(profile_dir: str, top: int = 25) -> Dict:
     # Keyed by op name so the same fusion running on every chip is one row.
     steps = 0
     agg: Counter = Counter()            # op name -> summed duration_ps
+    cf: Counter = Counter()             # control-flow spans, kept out of agg
     op_meta: Dict[str, str] = {}        # op name -> tf_op path
     flops_total = 0.0
     bytes_total = 0.0
@@ -121,6 +136,9 @@ def analyze(profile_dir: str, top: int = 25) -> Dict:
                     tf_op, flops, bbytes = md_stats(md)
                     meta_cache[mid] = (md.name, tf_op, flops, bbytes)
                 name, tf_op, flops, bbytes = meta_cache[mid]
+                if is_control_flow_span(name):
+                    cf[name] += ev.duration_ps
+                    continue
                 agg[name] += ev.duration_ps
                 op_meta.setdefault(name, tf_op)
                 flops_total += flops
@@ -146,6 +164,9 @@ def analyze(profile_dir: str, top: int = 25) -> Dict:
         "logical_gb_per_sec": (bytes_total / (total_ps / 1e12) / 1e9) if total_ps else 0.0,
         "categories": {k: v / 1e9 for k, v in cats.most_common()},
         "top_ops": top_ops,
+        # while/conditional events span their whole body, whose ops are
+        # already counted above — reported separately, never summed in
+        "control_flow_ms": sum(cf.values()) / 1e9,
     }
 
 
@@ -172,6 +193,9 @@ def main(argv=None):
     extra = f" (+{n_planes - 1} more device planes, summed)" if n_planes > 1 else ""
     print(f"device plane: {r['device_plane']}{extra}")
     print(f"total device time: {r['total_ms']:.1f} ms{per_step}")
+    if r.get("control_flow_ms"):
+        print(f"(while/conditional spans excluded — their bodies are the ops "
+              f"below: {r['control_flow_ms']:.1f} ms)")
     # the hardcoded peaks are v5e roofline anchors — only meaningful when
     # the trace actually came from a TPU plane
     is_tpu = "TPU" in r["device_plane"].upper()
