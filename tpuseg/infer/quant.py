@@ -565,12 +565,16 @@ def _quantized_raw_fn(folded: Dict[str, Dict[str, np.ndarray]],
     def phase_max(edge):
         """pool1 on the blocked layout: max over the 4 phases per blocked
         pixel — exactly maxpool 2x2/2, with the reduce_window replaced by a
-        reshape-max. Valid on int8 payloads because every phase shares the
+        chain of static lane-dim slices and elementwise maxima (a 5-D
+        reshape+reduce compiled to a reduce in a layout the consuming conv
+        rejects — an extra full-tensor copy, traced at ~2% of blocked device
+        time). Valid on int8 payloads because every phase shares the
         block's scalar output scale."""
         x, sv = edge
-        b, h, w, c4 = x.shape
-        c = c4 // 4
-        return jnp.max(x.reshape(b, h, w, 4, c), axis=3), sv[:c]
+        c = x.shape[-1] // 4
+        y = jnp.maximum(jnp.maximum(x[..., :c], x[..., c:2 * c]),
+                        jnp.maximum(x[..., 2 * c:3 * c], x[..., 3 * c:]))
+        return y, sv[:c]
 
     def blocked_logits_fn(batch):
         nc = batch.shape[-1]
