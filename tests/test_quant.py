@@ -6,6 +6,8 @@ high agreement, (3) weight quantization folds per-channel input scales
 correctly, (4) the quantized predict_fn slots into the tiled engine.
 """
 
+import zlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,10 +34,12 @@ def _model_and_vars(impl="conv_transpose", feats=4):
     model = UNet(num_classes=2, base_features=feats, dtype=jnp.float32,
                  deconv_impl=impl)
     variables = init_variables(model, jax.random.PRNGKey(0), num_channels=1)
-    # random-ish batch stats so BN folding is non-trivial (init is mean=0/var=1)
+    # random-ish batch stats so BN folding is non-trivial (init is mean=0/var=1).
+    # crc32, NOT hash(): str hashing is salted per-process (PYTHONHASHSEED),
+    # which made the 0.15 quant-error threshold flake run-to-run.
     def jitter(path, x):
         name = "/".join(str(p.key) for p in path)
-        rng = np.random.default_rng(abs(hash(name)) % 2**32)
+        rng = np.random.default_rng(zlib.crc32(name.encode()))
         if name.endswith("mean"):
             return jnp.asarray(rng.normal(0, 0.3, x.shape), x.dtype)
         return jnp.asarray(rng.uniform(0.5, 2.0, x.shape), x.dtype)
@@ -284,3 +288,71 @@ def test_blocked_edges_default_fp_blocks_track_dense():
         folded, ranges, dtype=jnp.float32, blocked_edges=True)(x))
     assert blocked_m.shape == dense_m.shape and blocked_m.dtype == np.int32
     assert (blocked_m == dense_m).mean() > 0.999
+
+
+@pytest.mark.parametrize("impl", ["pallas", "tdot"])
+def test_head_kernel_matches_xla_blocked_head(monkeypatch, impl):
+    """Both head+argmax implementations (infer/head_kernel.py; Pallas in
+    interpret mode on CPU, tdot everywhere) agree with the XLA blocked
+    head: bit-identical labels for the quantized head (int8 x int8
+    accumulates exactly in int32), argmax-equal up to genuine f32
+    near-ties for the shipped fp head."""
+    from tpuseg.infer import head_kernel
+
+    model, variables = _model_and_vars()
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (2, 48, 32, 1)), jnp.float32)
+    folded = fold_variables(variables)
+    ranges = calibrate(folded, [rng.normal(0, 1, (48, 32))])
+
+    def masks(fp_blocks):
+        xla = make_quantized_predict_fn(folded, ranges, fp_blocks=fp_blocks,
+                                        dtype=jnp.float32,
+                                        blocked_edges=True)(x)
+        monkeypatch.setattr(head_kernel, "_HEAD_MODE", impl)
+        try:
+            pk = make_quantized_predict_fn(folded, ranges,
+                                           fp_blocks=fp_blocks,
+                                           dtype=jnp.float32,
+                                           blocked_edges=True)(x)
+        finally:
+            monkeypatch.setattr(head_kernel, "_HEAD_MODE", "auto")
+        return np.asarray(xla), np.asarray(pk)
+
+    xla_q, pk_q = masks(())  # quantized head: exact accumulation
+    assert pk_q.shape == (2, 48, 32) and pk_q.dtype == np.int32
+    np.testing.assert_array_equal(pk_q, xla_q)
+
+    xla_fp, pk_fp = masks(("enc1a", "head"))  # shipped default: fp head
+    assert pk_fp.shape == xla_fp.shape
+    assert (pk_fp == xla_fp).mean() > 0.999
+
+
+@pytest.mark.parametrize("impl", ["pallas", "tdot"])
+def test_head_kernel_class_counts_vs_numpy(monkeypatch, impl):
+    """Kernel-level contract for ncls in {3, 5} (odd sublane counts, argmax
+    loop depth > 1): labels equal a pure-numpy evaluation of the blocked
+    head + first-max argmax + phase reassembly."""
+    from tpuseg.infer import head_kernel
+
+    monkeypatch.setattr(head_kernel, "_HEAD_MODE", impl)
+    rng = np.random.default_rng(11)
+    for ncls in (3, 5):
+        b, h, w, c4 = 2, 6, 10, 16
+        x = jnp.asarray(rng.integers(-127, 128, (b, h, w, c4)), jnp.int8)
+        sv = rng.uniform(0.01, 0.1, (c4,)).astype(np.float32)
+        wt = rng.normal(0, 0.3, (4 * ncls, c4)).astype(np.float32)
+        epi = rng.normal(0, 1, (4, 4 * ncls)).astype(np.float32)
+
+        got = np.asarray(head_kernel.blocked_head_argmax(
+            x, sv, jnp.asarray(wt), epi, ncls, fp=True))
+
+        xf = np.asarray(x, np.float32) * sv  # dequant
+        y = xf @ wt.T  # [b, h, w, 4*ncls]
+        y = np.maximum(y + epi[0], 0.0) * epi[1] + epi[2]
+        lbl = np.argmax(y.reshape(b, h, w, 4, ncls), axis=-1)  # [b,h,w,4]
+        dense = lbl.reshape(b, h, w, 2, 2).transpose(0, 1, 3, 2, 4)
+        dense = dense.reshape(b, 2 * h, 2 * w).astype(np.int32)
+
+        assert got.shape == (b, 2 * h, 2 * w)
+        np.testing.assert_array_equal(got, dense)

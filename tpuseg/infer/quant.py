@@ -419,11 +419,18 @@ def _quantized_raw_fn(folded: Dict[str, Dict[str, np.ndarray]],
                       fp_blocks: Sequence[str],
                       deconv_impl: str,
                       dtype,
-                      blocked_edges: bool) -> Callable[[jax.Array], jax.Array]:
+                      blocked_edges: bool,
+                      blocked_head_override: Optional[Callable] = None,
+                      ) -> Callable[[jax.Array], jax.Array]:
     """The (unjitted) int8-resident forward shared by the logits and predict
     entry points.  Returns plain f32 logits ``(B, H, W, ncls)``, or — with
     ``blocked_edges`` — phase-major blocked logits ``(B, H/2, W/2, 4*ncls)``
     (callers depth-to-space the logits, or argmax per phase first).
+
+    ``blocked_head_override``, when set, replaces the blocked head stage:
+    it is called with the dec1b edge ``(int8 activations, static scale
+    vector)`` and its return value becomes the walk's return value — the
+    hook the Pallas head+argmax kernel plugs into (infer/head_kernel.py).
     """
     unknown = set(fp_blocks) - set(CONV_BLOCKS) - set(DECONV_BLOCKS)
     if unknown:
@@ -603,6 +610,8 @@ def _quantized_raw_fn(folded: Dict[str, Dict[str, np.ndarray]],
                np.concatenate([enc1[1], up1[1]]))
         d1 = blocked_conv_block(
             "dec1b", blocked_conv_block("dec1a", cat, (f, f)), (f,))
+        if blocked_head_override is not None:
+            return blocked_head_override(*d1)
         return blocked_conv_block("head", d1, (f,))
 
     return blocked_logits_fn
@@ -651,18 +660,55 @@ def make_quantized_predict_fn(folded, act_ranges,
     (tiled, streaming, batched small images) runs the int8 path unchanged.
     With ``blocked_edges`` the argmax runs per phase on the blocked logits
     and only the int32 labels are depth-to-spaced — the full-resolution f32
-    logits tensor is never materialized.
+    logits tensor is never materialized.  On TPU the blocked head + argmax
+    + depth-to-space run as a transposed ``dot_general`` (infer/
+    head_kernel.py): the conv-formulated head materializes 16x-lane-padded
+    blocked logits, the transposed dot keeps phase-classes on a major dim
+    and writes only unpadded label lanes (78.6 vs 78.2 MP/s, BASELINE.md
+    round 4 — small because XLA already output-fuses the 1x1 head into
+    dec1b's conv).  CPU keeps the XLA conv formulation, so the CPU-mesh
+    equality tests pin the engine contract; ``TPUSEG_HEAD`` selects
+    xla/tdot/pallas explicitly (the Pallas kernel is the measured-rejected
+    variant: its row-major operand requirement re-layouts the whole dec1
+    chain, 55.6 MP/s).
     """
+    override = None
+    if blocked_edges:
+        from tpuseg.infer.head_kernel import (blocked_head_argmax,
+                                              head_kernel_eligible)
+
+        w = folded["head"]["w"]  # [1, 1, feats, ncls]
+        feats, ncls = w.shape[2], w.shape[3]
+        if head_kernel_eligible(ncls):
+            wb = _block_weight(w, (feats,))  # [1, 1, 4f, 4ncls]
+            b4 = np.tile(folded["head"]["b"], 4).astype(np.float32)
+            s4 = np.tile(folded["head"]["s"], 4).astype(np.float32)
+            t4 = np.tile(folded["head"]["t"], 4).astype(np.float32)
+            fp = "head" in fp_blocks
+
+            def override(x, sv):
+                if fp:
+                    wt = jnp.asarray(wb[0, 0].T, dtype)
+                    epi = np.stack([b4, s4, t4, np.ones_like(b4)])
+                    return blocked_head_argmax(x, sv, wt, epi, ncls, fp=True)
+                wq, wscale = quantize_weight(wb, sv)
+                epi = np.stack([b4, s4, t4, wscale.astype(np.float32)])
+                return blocked_head_argmax(x, sv, jnp.asarray(wq[0, 0].T),
+                                           epi, ncls, fp=False)
+
     raw = _quantized_raw_fn(folded, act_ranges, fp_blocks, deconv_impl,
-                            dtype, blocked_edges)
+                            dtype, blocked_edges,
+                            blocked_head_override=override)
 
     @jax.jit
     def predict(batch):
         out = raw(batch)
         if not blocked_edges:
             return jnp.argmax(out, axis=-1).astype(jnp.int32)
-        b, h, w, c4 = out.shape
-        lbl = jnp.argmax(out.reshape(b, h, w, 4, c4 // 4), axis=-1)
+        if override is not None:
+            return out  # the kernel already returned dense int32 labels
+        b, h, w_, c4 = out.shape
+        lbl = jnp.argmax(out.reshape(b, h, w_, 4, c4 // 4), axis=-1)
         # lbl is (b, h, w, 4) = blocked labels with C=1 per phase
         return _d2s(lbl.astype(jnp.int32))[..., 0]
 
