@@ -24,42 +24,115 @@ V100_TF2_BASELINE_IMG_PER_SEC = 10.0  # analytic estimate, see BASELINE.md
 V5E_BF16_PEAK_TFLOPS = 197.0  # TPU v5e per-chip bf16 peak
 
 
+def _subprocess_probe(timeout_s: float) -> bool:
+    """Run one trivial device op in a FRESH python subprocess.
+
+    Subprocess (not thread) because a hung probe must not poison later
+    attempts: jax backend initialization is process-global, so a thread
+    stuck inside the tunnel's C call would wedge every subsequent
+    in-process probe behind the same init lock. A killed subprocess leaves
+    this process's (still-uninitialized) backend untouched."""
+    import os
+    import signal
+    import subprocess
+    import tempfile
+
+    # The site hook pre-imports jax pinned to the real chip in EVERY python
+    # process, ignoring the JAX_PLATFORMS env var (CLAUDE.md); apply it via
+    # the config API so the probe targets the same backend the caller will
+    # (prod: unset -> real TPU; tests: cpu -> the probe stays hermetic).
+    code = ("import os, jax\n"
+            "p = os.environ.get('JAX_PLATFORMS')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "import jax.numpy as jnp\n"
+            "print(float(jnp.ones(()) + 1.0))\n")
+    # No pipes: the tunnel plugin can spawn helper processes that inherit
+    # them, and after a timeout-kill `communicate()` would then block until
+    # the (unkilled) helper exits — observed overrunning the timeout by
+    # minutes. Output goes to a temp file; the probe gets its own process
+    # group so the kill reaches helpers too.
+    try:
+        with tempfile.TemporaryFile() as out:
+            proc = subprocess.Popen([sys.executable, "-c", code],
+                                    stdout=out, stderr=subprocess.DEVNULL,
+                                    start_new_session=True)
+            try:
+                rc = proc.wait(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except OSError:
+                    pass
+                proc.wait(timeout=10.0)
+                return False
+            out.seek(0)
+            return rc == 0 and b"2.0" in out.read()
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
 def _require_live_backend(metric: str, unit: str,
                           timeout_s: float = 180.0) -> None:
-    """Fail fast instead of hanging when the tunneled TPU backend is down.
+    """Wait (bounded) for the tunneled TPU backend instead of hanging OR
+    giving up on one coin-flip.
 
     The backend occasionally goes away entirely — even ``jax.devices()``
-    hangs (CLAUDE.md) — and an unguarded bench would then block the
-    round-end driver indefinitely. A daemon thread runs one trivial device
-    op synced by value readback; if it does not complete within
-    ``timeout_s`` (a trivial add compiles in seconds — the budget covers a
-    cold process + slow tunnel, not a U-Net compile), the bench emits one
-    self-describing JSON error line and exits 1. ``os._exit`` because the
-    probe thread is stuck inside a C call and would block normal
-    interpreter shutdown."""
+    hangs (CLAUDE.md) — and an unguarded bench would block the round-end
+    driver indefinitely. Rounds 3 and 4 showed the opposite failure too:
+    a single 180s probe lost the round's official artifact to transient
+    tunnel weather twice (VERDICT r4 missing #1). So: probe in fresh
+    subprocesses, re-trying every ~60s within a total budget
+    (``TPUSEG_BENCH_WAIT`` seconds, default 1500 = 25 min, well under the
+    driver's patience); emit the self-describing JSON error line and exit
+    1 only after the whole budget is spent. After a subprocess probe
+    succeeds, one in-process gate (thread + value readback) confirms THIS
+    process can reach the device before the expensive compiles start;
+    ``os._exit`` on its failure because a thread stuck inside a C call
+    would block normal interpreter shutdown."""
     import os
     import threading
 
-    done = threading.Event()
+    budget_s = float(os.environ.get("TPUSEG_BENCH_WAIT", "1500"))
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    alive = _subprocess_probe(min(timeout_s, budget_s))
+    while not alive and time.monotonic() < deadline:
+        attempt += 1
+        wait = min(60.0, max(0.0, deadline - time.monotonic()))
+        print(f"# bench: TPU probe {attempt} failed; backend down? "
+              f"re-probing in {wait:.0f}s "
+              f"({deadline - time.monotonic():.0f}s of budget left)",
+              file=sys.stderr, flush=True)
+        time.sleep(wait)
+        if time.monotonic() >= deadline:
+            break
+        alive = _subprocess_probe(
+            min(timeout_s, max(1.0, deadline - time.monotonic())))
 
-    def _probe():
-        import jax.numpy as jnp
-        float(jnp.ones(()) + 1.0)  # value readback: the only true sync here
-        done.set()
+    if alive:
+        done = threading.Event()
 
-    threading.Thread(target=_probe, daemon=True,
-                     name="tpuseg-bench-probe").start()
-    if not done.wait(timeout_s):
-        print(json.dumps({
-            "metric": metric,
-            "value": 0.0,
-            "unit": unit,
-            "vs_baseline": 0.0,
-            "error": "TPU backend unreachable: trivial device op did not "
-                     f"complete within {timeout_s:.0f}s (tunnel down; "
-                     "see CLAUDE.md environment quirks)",
-        }), flush=True)
-        os._exit(1)
+        def _probe():
+            import jax.numpy as jnp
+            float(jnp.ones(()) + 1.0)  # value readback: the only true sync
+            done.set()
+
+        threading.Thread(target=_probe, daemon=True,
+                         name="tpuseg-bench-probe").start()
+        if done.wait(timeout_s):
+            return
+
+    print(json.dumps({
+        "metric": metric,
+        "value": 0.0,
+        "unit": unit,
+        "vs_baseline": 0.0,
+        "error": "TPU backend unreachable: trivial device op did not "
+                 f"complete within a {budget_s:.0f}s retry budget "
+                 "(tunnel down; see CLAUDE.md environment quirks; "
+                 "budget via TPUSEG_BENCH_WAIT)",
+    }), flush=True)
+    os._exit(1)
 
 
 def unet_train_flops_per_image(hw: int, channels: int = 1, classes: int = 2,
