@@ -560,6 +560,11 @@ def bench_compile_cost(n_geometries: int = 4):
 
 
 def main(hw: int = 512, batch: int = 8):
+    if batch % 8 != 0:
+        print(f"# WARNING: --batch {batch} is not a multiple of 8 — TPU "
+              "sublane alignment makes such batches ~2x slower per image "
+              "(BASELINE.md batch-size sweep); use 8 or 16",
+              file=sys.stderr, flush=True)
     from tpuseg.utils.compile_cache import enable as _enable_cache
     _enable_cache()
     _require_live_backend(f"unet_train_throughput_{hw}px", "images/sec/chip")

@@ -356,3 +356,45 @@ def test_head_kernel_class_counts_vs_numpy(monkeypatch, impl):
 
         assert got.shape == (b, 2 * h, 2 * w)
         np.testing.assert_array_equal(got, dense)
+
+
+def test_act_ranges_roundtrip(tmp_path):
+    """save_act_ranges -> load_act_ranges is the identity on the scale dict
+    (VERDICT r4 item 9: persisted calibration for fleets / repeat runs /
+    scale-drift audits)."""
+    from tpuseg.infer.quant import load_act_ranges, save_act_ranges
+
+    _, variables = _model_and_vars()
+    folded = fold_variables(variables)
+    ranges = calibrate(folded, [np.random.default_rng(7).normal(0, 1, (48, 48))])
+    p = str(tmp_path / "cal.json")
+    save_act_ranges(p, ranges, percentile=99.9)
+    assert load_act_ranges(p) == ranges
+
+    # and the loaded scales build a predict_fn bit-identical to the original
+    x = np.random.default_rng(8).normal(0, 1, (1, 48, 48, 1)).astype(np.float32)
+    a = make_quantized_predict_fn(folded, ranges)(jnp.asarray(x))
+    b = make_quantized_predict_fn(folded, load_act_ranges(p))(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_act_ranges_load_rejects_bad_files(tmp_path):
+    """A non-calibration JSON or a stale file from a different topology
+    fails loudly at load, not as a KeyError inside the traced walk."""
+    import json
+
+    from tpuseg.infer.quant import load_act_ranges, save_act_ranges
+
+    p = str(tmp_path / "notcal.json")
+    with open(p, "w") as f:
+        json.dump({"hello": 1}, f)
+    with pytest.raises(ValueError, match="not a tpuseg int8 calibration"):
+        load_act_ranges(p)
+
+    ranges = {k: 1.0 for k in ALL_BLOCKS + (INPUT_TAP,)}
+    del ranges["dec2a"]
+    ranges["not_a_block"] = 2.0
+    p2 = str(tmp_path / "wrongkeys.json")
+    save_act_ranges(p2, ranges)
+    with pytest.raises(ValueError, match="does not match the U-Net block set"):
+        load_act_ranges(p2)

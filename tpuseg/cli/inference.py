@@ -67,7 +67,19 @@ def main(argv=None):
                              "blocks the C=64 edge stages (tpuseg extension)")
     parser.add_argument("--calibration_images", dest="calibration_images",
                         type=int, default=4,
-                        help="inputs used for int8 activation-range calibration")
+                        help="inputs used for int8 activation-range calibration "
+                             "(a deterministic evenly-spaced sample of the "
+                             "sorted folder)")
+    parser.add_argument("--calibration_in", dest="calibration_in",
+                        type=str, default=None,
+                        help="load persisted int8 calibration scales (JSON "
+                             "written by --calibration_out) and skip the "
+                             "calibration passes entirely (tpuseg extension)")
+    parser.add_argument("--calibration_out", dest="calibration_out",
+                        type=str, default=None,
+                        help="write the calibrated int8 activation scales as "
+                             "JSON for reuse via --calibration_in and for "
+                             "scale-drift audits (tpuseg extension)")
     parser.add_argument("--calibration_percentile", dest="calibration_percentile",
                         type=float, default=99.9,
                         help="|activation| percentile for the int8 clip range "
@@ -113,6 +125,8 @@ def main(argv=None):
         quantize=args.quantize,
         calibration_images=args.calibration_images,
         calibration_percentile=args.calibration_percentile,
+        calibration_in=args.calibration_in,
+        calibration_out=args.calibration_out,
         seed=args.seed,
     ))
 

@@ -414,6 +414,52 @@ def calibrate(folded: Dict[str, Dict[str, np.ndarray]],
     return {k: agg(vs) for k, vs in per_image.items()}
 
 
+_CALIBRATION_FORMAT = "tpuseg-int8-calibration-v1"
+
+
+def save_act_ranges(path: str, act_ranges: Dict[str, float],
+                    percentile: Optional[float] = None) -> None:
+    """Persist calibrated activation ranges as JSON (VERDICT r4 item 9).
+
+    Fleets and repeat runs hand the file back via :func:`load_act_ranges`
+    (``--calibration_out`` / ``--calibration_in`` on the inference CLI) and
+    skip the calibration forward passes entirely; audits can diff scale
+    drift between checkpoints.  The file is one flat ``{block: range}``
+    dict plus provenance (format tag, the percentile that produced it)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({
+            "format": _CALIBRATION_FORMAT,
+            "percentile": percentile,
+            "act_ranges": {k: float(v) for k, v in act_ranges.items()},
+        }, f, indent=2, sort_keys=True)
+        f.write("\n")
+
+
+def load_act_ranges(path: str) -> Dict[str, float]:
+    """Inverse of :func:`save_act_ranges`; validates the format tag and the
+    block-name key set so a stale file from a different model topology fails
+    loudly here instead of as a KeyError deep inside the traced walk."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if not isinstance(doc, dict) or doc.get("format") != _CALIBRATION_FORMAT:
+        raise ValueError(
+            f"{path} is not a tpuseg int8 calibration file "
+            f'(expected format tag "{_CALIBRATION_FORMAT}")')
+    ranges = {k: float(v) for k, v in doc["act_ranges"].items()}
+    expected = set(CONV_BLOCKS) | set(DECONV_BLOCKS) | {INPUT_TAP}
+    missing = expected - set(ranges)
+    unknown = set(ranges) - expected
+    if missing or unknown:
+        raise ValueError(
+            f"{path} does not match the U-Net block set: "
+            f"missing={sorted(missing)} unknown={sorted(unknown)}")
+    return ranges
+
+
 def _quantized_raw_fn(folded: Dict[str, Dict[str, np.ndarray]],
                       act_ranges: Dict[str, float],
                       fp_blocks: Sequence[str],
