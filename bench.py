@@ -467,16 +467,16 @@ def bench_stream(hw: int = 8192):
         # (b) in-RAM: whole-slide read, one-transfer tiled program, mask save
         out_r = os.path.join(tmp, "mask_ram.tif")
 
-        def run_ram():
+        def run_ram(fn, out_path):
             with BigTiffReader(slide) as reader:
                 whole = reader.read_region(0, 0, reader.height, reader.width)
-            mask = inference_tiled(whole, predict, 1024, 96, 8,
+            mask = inference_tiled(whole, fn, 1024, 96, 8,
                                    num_classes=2, norm_stats=stats)
-            imwrite(out_r, minimize_dtype(mask))
+            imwrite(out_path, minimize_dtype(mask))
 
-        run_ram()  # warm
+        run_ram(predict, out_r)  # warm
         t0 = time.perf_counter()
-        run_ram()
+        run_ram(predict, out_r)
         dt_ram = time.perf_counter() - t0
 
         with BigTiffReader(out_s) as ms, BigTiffReader(out_r) as mr:
@@ -484,16 +484,171 @@ def bench_stream(hw: int = 8192):
             b = mr.read_region(0, 0, mr.height, mr.width)
             agreement = float((a == b).mean())
 
+        # (c) the composed whole-slide production path (VERDICT r4 item 2):
+        # rolling-strip streaming x blocked int8 serving. Calibrated on a
+        # central window of the slide with the slide's own streaming stats
+        # (the runner's recipe); the streaming win is transfer-bound and the
+        # int8 win compute-bound, so the two should compose.
+        from tpuseg.infer.quant import quantized_predict_from_checkpoint
+
+        mean, std = stats
+        safe_std = np.where(np.asarray(std) <= 1.0, 1.0, std)
+        with BigTiffReader(slide) as reader:
+            crop = reader.read_region((hw - 512) // 2, (hw - 512) // 2,
+                                      min(512, hw), min(512, hw))
+        crop = (crop.astype(np.float32) - mean) / safe_std
+        qpredict = quantized_predict_from_checkpoint(
+            model, variables, [crop], blocked_edges=True)
+
+        out_qs = os.path.join(tmp, "mask_stream_q.tif")
+
+        def run_stream_q():
+            with BigTiffReader(slide) as reader:
+                inference_tiled_streaming(reader, qpredict, out_qs, 1024, 96,
+                                          8, num_classes=2, norm_stats=stats,
+                                          progress=False)
+
+        run_stream_q()  # warm compile pass
+        t0 = time.perf_counter()
+        run_stream_q()
+        dt_stream_q = time.perf_counter() - t0
+
+        out_rq = os.path.join(tmp, "mask_ram_q.tif")
+        run_ram(qpredict, out_rq)  # warm
+        t0 = time.perf_counter()
+        run_ram(qpredict, out_rq)
+        dt_ram_q = time.perf_counter() - t0
+
     print(json.dumps({
         "metric": f"unet_streaming_inference_{hw}px",
         "value": round(mp / dt_stream, 2),
         "unit": "MP/sec/chip",
         "vs_baseline": round(dt_ram / dt_stream, 3),  # >=1: streaming not slower
         "in_ram_MP_per_sec": round(mp / dt_ram, 2),
+        # the composed production path: disk-to-disk whole-slide serving
+        "streamed_int8_blocked_MP_per_sec": round(mp / dt_stream_q, 2),
+        "in_ram_int8_blocked_MP_per_sec": round(mp / dt_ram_q, 2),
         # 1.0 on CPU; on TPU >=0.9999 — remainder-batch-shape bf16 tie flips
         # on a random-init model (see docstring), not a geometry difference
         "mask_agreement": round(agreement, 6),
         "slide_MB": round(hw * hw * 2 / 1e6, 1),
+    }))
+
+
+def bench_infer_matrix():
+    """Serving-mode decision matrix (VERDICT r4 item 3): fp / int8 /
+    int8_blocked measured at the reference 1024-tile geometry and the
+    auto-tile geometry across image sizes (2048², 3330², 4096²) plus the
+    batched small-image path (the bundled corpus' 256² shape) — the
+    measured basis for the README serving-mode table and the int8_auto
+    dispatch. Also probes the quantized auto-tile HBM envelope (item 4):
+    tiles 1792/2048 at batch 8 on the blocked engine, recording fit-or-OOM.
+
+    All timings are device-resident min-of-4 (value-readback sync); the
+    small-image path is timed end-to-end per its engine contract (the
+    transfer term is identical across modes)."""
+    import numpy as np
+
+    from tpuseg.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+    _require_live_backend("unet_serving_mode_matrix", "MP/sec/chip")
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.data.preprocess import zscore_stats
+    from tpuseg.infer.quant import quantized_predict_from_checkpoint
+    from tpuseg.infer.tiled import (choose_tile_size, inference_single_batch,
+                                    inference_tiled, make_predict_fn)
+    from tpuseg.models.unet import UNet, init_variables
+
+    model = UNet(num_classes=2)
+    variables = init_variables(model, jax.random.PRNGKey(0), num_channels=1,
+                               spatial=(256, 256))
+    rng = np.random.default_rng(0)
+
+    # one calibration crop for every engine (the runner calibrates once per
+    # folder, not per geometry)
+    big = rng.integers(0, 4096, size=(4096, 4096)).astype(np.uint16)
+    big_stats = zscore_stats(big)
+    mean, std = big_stats
+    safe_std = np.where(np.asarray(std) <= 1.0, 1.0, std)
+    crop = (big[1792:2304, 1792:2304].astype(np.float32) - mean) / safe_std
+
+    fns = {
+        "fp": make_predict_fn(model, variables),
+        "int8": quantized_predict_from_checkpoint(model, variables, [crop]),
+        "int8_blocked": quantized_predict_from_checkpoint(
+            model, variables, [crop], blocked_edges=True),
+    }
+
+    def time_tiled(img, stats, fn, tile):
+        dimg = jnp.asarray(img[..., None])
+
+        def run():
+            out = inference_tiled(dimg, fn, tile_size=tile, num_classes=2,
+                                  norm_stats=stats, device_output=True)
+            return int(out[0, 0])
+
+        run()  # compile
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    matrix = {}
+    for hw in (2048, 3330, 4096):
+        img = big[:hw, :hw] if hw <= 4096 else None
+        stats = big_stats if hw == 4096 else zscore_stats(img)
+        auto = choose_tile_size(hw, hw, 96)
+        mp = hw * hw / 1e6
+        for tile, tname in ((1024, "tile1024"), (auto, f"auto{auto}")):
+            for mode, fn in fns.items():
+                dt = time_tiled(img, stats, fn, tile)
+                matrix[f"{hw}_{tname}_{mode}"] = round(mp / dt, 2)
+                print(f"# {hw}² {tname} {mode}: {mp / dt:.2f} MP/s",
+                      file=sys.stderr, flush=True)
+
+    # batched small-image path (256² corpus shape, batch 8 through one
+    # forward; engine contract = host images in, masks out)
+    small = [rng.integers(0, 4096, size=(256, 256)).astype(np.uint16)
+             for _ in range(32)]
+    small_stats = [zscore_stats(s) for s in small]
+    for mode, fn in fns.items():
+        inference_single_batch(small, fn, 8, stats=small_stats)  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            inference_single_batch(small, fn, 8, stats=small_stats)
+            best = min(best, time.perf_counter() - t0)
+        matrix[f"small256_batch8_{mode}_img_per_sec"] = round(len(small) / best, 2)
+        print(f"# small 256² {mode}: {len(small) / best:.2f} img/s",
+              file=sys.stderr, flush=True)
+
+    # quantized auto-tile HBM envelope probe (VERDICT r4 item 4): the 1536
+    # cap was measured on the bf16 engine; int8_blocked halves inter-block
+    # activation bytes, so bigger tiles may fit and shrink the halo share
+    envelope = {}
+    for tile in (1792, 2048):
+        try:
+            dt = time_tiled(big, big_stats, fns["int8_blocked"], tile)
+            envelope[f"int8_blocked_{tile}"] = round(4096 * 4096 / 1e6 / dt, 2)
+            print(f"# envelope int8_blocked tile {tile}: "
+                  f"{4096 * 4096 / 1e6 / dt:.2f} MP/s", file=sys.stderr,
+                  flush=True)
+        except Exception as e:  # XLA OOM surfaces as RuntimeError
+            envelope[f"int8_blocked_{tile}"] = f"failed: {type(e).__name__}"
+            print(f"# envelope int8_blocked tile {tile}: failed "
+                  f"({type(e).__name__})", file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": "unet_serving_mode_matrix",
+        "value": matrix.get("4096_auto1216_int8_blocked", 0.0),
+        "unit": "MP/sec/chip",
+        "vs_baseline": 0.0,
+        "matrix_MP_per_sec": matrix,
+        "envelope_probe": envelope,
     }))
 
 
@@ -629,15 +784,20 @@ if __name__ == "__main__":
     parser.add_argument("--compile_cost", action="store_true",
                         help="cold/warm per-geometry compile cost of the "
                              "tiled engine against a fresh persistent cache")
+    parser.add_argument("--infer_matrix", action="store_true",
+                        help="serving-mode decision matrix: fp/int8/"
+                             "int8_blocked across geometries + the quantized "
+                             "auto-tile envelope probe")
     parser.add_argument("--hw", type=int, default=512,
                         help="square tile size for the training bench")
     parser.add_argument("--batch", type=int, default=8,
                         help="per-chip batch size for the training bench")
     args = parser.parse_args()
-    modes = [args.e2e, args.infer, args.stream, args.compile_cost]
+    modes = [args.e2e, args.infer, args.stream, args.compile_cost,
+             args.infer_matrix]
     if sum(modes) > 1:
-        parser.error("--e2e/--infer/--stream/--compile_cost are mutually "
-                     "exclusive")
+        parser.error("--e2e/--infer/--stream/--compile_cost/--infer_matrix "
+                     "are mutually exclusive")
     if args.lmdb and not args.e2e:
         parser.error("--lmdb only applies to --e2e")
     if any(modes) and (args.hw != 512 or args.batch != 8):
@@ -650,4 +810,6 @@ if __name__ == "__main__":
         sys.exit(bench_stream())
     if args.compile_cost:
         sys.exit(bench_compile_cost())
+    if args.infer_matrix:
+        sys.exit(bench_infer_matrix())
     sys.exit(main(hw=args.hw, batch=args.batch))

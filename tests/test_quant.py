@@ -398,3 +398,23 @@ def test_act_ranges_load_rejects_bad_files(tmp_path):
     save_act_ranges(p2, ranges)
     with pytest.raises(ValueError, match="does not match the U-Net block set"):
         load_act_ranges(p2)
+
+
+def test_head_mode_env_reread_and_forced_pallas_warns(monkeypatch, capsys):
+    """TPUSEG_HEAD is re-read per call (setting it after tpuseg imports
+    works), and forcing pallas past the validated class cap warns instead
+    of silently bypassing it (ADVICE r4)."""
+    from tpuseg.infer import head_kernel
+
+    monkeypatch.setenv("TPUSEG_HEAD", "xla")
+    assert not head_kernel.head_kernel_eligible(2)
+    monkeypatch.setenv("TPUSEG_HEAD", "tdot")
+    assert head_kernel.head_kernel_eligible(2)
+    capsys.readouterr()
+    monkeypatch.setenv("TPUSEG_HEAD", "pallas")
+    assert head_kernel.head_kernel_eligible(
+        head_kernel._MAX_KERNEL_CLASSES + 1)
+    assert "unvalidated" in capsys.readouterr().out
+    # within the envelope: forced pallas stays silent
+    assert head_kernel.head_kernel_eligible(2)
+    assert capsys.readouterr().out == ""

@@ -120,3 +120,36 @@ def test_resume_fresh_output_dir_restores_history_from_checkpoint(dbs, tmp_path)
     else:
         assert r2.checkpoint_path.startswith(out2)
         assert os.path.exists(os.path.join(out2, "checkpoint"))
+
+
+def test_resume_reused_output_dir_prefers_checkpoint_side_history(
+        dbs, tmp_path, capsys):
+    """Resuming into a REUSED output dir that holds a stale test_loss.csv
+    from an unrelated run: the csv beside the resume checkpoint is the
+    authoritative history (it matches the checkpoint's step), the stale one
+    must not win, and the collision warns (ADVICE r4)."""
+    import os
+
+    train_db, test_db = dbs
+    base = dict(
+        train_database=train_db, test_database=test_db,
+        batch_size=1, test_every_n_steps=2, early_stopping_count=10,
+        use_augmentation=False, device_augment=False, dtype="float32",
+        base_features=2, seed=0,
+    )
+    out1 = str(tmp_path / "orig")
+    r1 = train_model(TrainConfig(output_folder=out1, max_epochs=2, **base))
+
+    out2 = str(tmp_path / "reused")
+    os.makedirs(out2)
+    with open(os.path.join(out2, "test_loss.csv"), "w") as f:
+        f.write("0.0001\n0.0002\n0.0003\n")  # unrelated run, absurdly good
+
+    capsys.readouterr()
+    r2 = train_model(TrainConfig(output_folder=out2, max_epochs=3,
+                                 resume_checkpoint=r1.checkpoint_path, **base))
+    out = capsys.readouterr().out
+    assert "using the checkpoint-side history" in out
+    # the checkpoint-side 2-epoch history carried over, not the stale 3-epoch
+    assert len(r2.test_loss) == 3
+    assert r2.test_loss[:2] == pytest.approx(r1.test_loss)

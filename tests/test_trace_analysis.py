@@ -140,3 +140,30 @@ def test_analyze_excludes_control_flow_spans(tmp_path):
     # a fusion whose text merely mentions control flow is NOT a span
     assert not is_control_flow_span("%fusion.9 = f32[8] fusion(...)")
     assert is_control_flow_span("%body = (f32[2]) conditional(%p, %t, %f)")
+
+
+def test_control_flow_span_opcode_parsing():
+    """The span check parses the opcode token, not substrings (ADVICE r4):
+    an op RENAMED %while_init, or a fusion whose operand text contains
+    ' while(' / ' conditional(', must not be excluded from totals; renamed
+    control flow with definition text is still caught via its opcode."""
+    from tpuseg.utils.trace_analysis import is_control_flow_span
+
+    # true control flow, default and renamed instruction names
+    assert is_control_flow_span("%while.2 = (s32[]) while(%init)")
+    assert is_control_flow_span("%while")  # bare default name, no def text
+    assert is_control_flow_span("%while.7")
+    assert is_control_flow_span("%loop = (s32[], f32[8]) while(%init)")
+    assert is_control_flow_span("%cond_apply = f32[2] conditional(%p, %t)")
+
+    # NOT control flow: names/operands that merely embed the words
+    assert not is_control_flow_span("%while_init")  # renamed fusion, no def
+    assert not is_control_flow_span(
+        "%while_init = f32[8] fusion(%a), calls=%b")
+    assert not is_control_flow_span(
+        "%fusion.3 = f32[8] fusion(%param_while(...))")
+    assert not is_control_flow_span(
+        "%conditional_input = s32[] copy(%x)")
+    # tuple-shape parse does not mistake the shape for the opcode
+    assert not is_control_flow_span(
+        "%fusion.4 = (f32[2], f32[3]) fusion(%a, %b)")

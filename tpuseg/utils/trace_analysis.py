@@ -31,18 +31,45 @@ from typing import Dict, List, Optional, Tuple
 _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter", "collective-permute")
 
 
+def _hlo_opcode(rhs: str) -> str:
+    """The opcode token of an HLO definition's right-hand side — the word
+    immediately before the operand parenthesis, after skipping a possibly
+    parenthesized tuple shape: ``(s32[], f32[8]) while(%cond, ...)`` ->
+    ``while``; ``f32[8]{0} fusion(...)`` -> ``fusion``."""
+    rhs = rhs.strip()
+    if rhs.startswith("("):  # tuple shape: skip to its matching close paren
+        depth = 0
+        for i, ch in enumerate(rhs):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    rhs = rhs[i + 1:].lstrip()
+                    break
+    head = rhs.split("(", 1)[0].strip()
+    return head.split()[-1] if head else ""
+
+
 def is_control_flow_span(name: str) -> bool:
     """True for while/conditional trace events.  These span their whole body
     on the device timeline, and the body's ops are traced as their OWN
     events on the same line — summing both double-counts every loop body
     (observed on the tiled-inference program, whose lax.map chunk loop is a
     single ``%while`` covering ~half the raw event time).  ``name`` is the
-    HLO definition text; the instruction's default name carries its opcode
-    (``%while.2 = (...) while(...)``), and a renamed instruction still has
-    the opcode before its operand list."""
-    inst = name.split(" = ", 1)[0]
-    return (inst.startswith(("%while", "%conditional"))
-            or " while(" in name or " conditional(" in name)
+    HLO definition text; the opcode is parsed as the token before the
+    operand parenthesis (not a substring match — an op renamed
+    ``%while_init`` or operand text containing ``" while("`` must NOT be
+    excluded from totals, ADVICE r4), with the default-name prefix check
+    anchored to ``%while.``/``%conditional.`` for bare-name events that
+    carry no definition text."""
+    inst, sep, rhs = name.partition(" = ")
+    inst = inst.strip()
+    anchored = (inst in ("%while", "%conditional")
+                or inst.startswith(("%while.", "%conditional.")))
+    if not sep:
+        return anchored
+    return anchored or _hlo_opcode(rhs) in ("while", "conditional")
 
 
 def classify_op(name: str, tf_op: str = "") -> str:
