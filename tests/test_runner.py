@@ -326,6 +326,31 @@ def test_inference_runner_int8_blocked_matches_int8(ckpt, tmp_path):
         np.testing.assert_array_equal(blocked[name], dense[name])
 
 
+def test_inference_runner_int8_auto_matches_int8(ckpt, tmp_path):
+    """--quantize int8_auto (blocked engine on the tiled dispatch, dense on
+    the batched small-image dispatch — the measured round-5 serving matrix)
+    produces masks identical to plain int8 on BOTH paths: the corpus's
+    big.tif exceeds tile_size (tiled) and small.tif doesn't (batched), and
+    one calibration feeds both engines."""
+    imgdir = str(tmp_path / "imgs")
+    _write_corpus(imgdir)
+
+    def run(outname, quantize):
+        outdir = str(tmp_path / outname)
+        cfg = InferenceConfig(
+            checkpoint_filepath=ckpt, image_folder=imgdir,
+            output_folder=outdir,
+            number_classes=2, number_channels=1, tile_size=288, radius=96,
+            batch_size=2, dtype="float32", base_features=2, quantize=quantize)
+        return {os.path.basename(p): imread(p) for p in inference(cfg)}
+
+    dense = run("q8", "int8")
+    auto = run("q8a", "int8_auto")
+    assert sorted(auto) == ["big.tif", "small.tif"]
+    for name in dense:
+        np.testing.assert_array_equal(auto[name], dense[name])
+
+
 def test_inference_runner_quantize_rejects_unknown_mode(ckpt, tmp_path):
     imgdir = str(tmp_path / "imgs")
     _write_corpus(imgdir)

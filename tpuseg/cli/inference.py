@@ -59,12 +59,15 @@ def main(argv=None):
                              "write masks incrementally — segments whole-slide "
                              "images larger than host RAM (tpuseg extension)")
     parser.add_argument("--quantize", dest="quantize", type=str, default="none",
-                        choices=["none", "int8", "int8_blocked"],
+                        choices=["none", "int8", "int8_blocked", "int8_auto"],
                         help="int8: post-training-quantized serving path — conv "
                              "matmuls run int8 on the MXU after activation-range "
                              "calibration on the first --calibration_images "
                              "inputs; int8_blocked additionally space-to-depth-"
-                             "blocks the C=64 edge stages (tpuseg extension)")
+                             "blocks the C=64 edge stages; int8_auto picks per "
+                             "dispatch path from the measured serving matrix "
+                             "(blocked for tiled images, dense for small "
+                             "batches — identical masks) (tpuseg extension)")
     parser.add_argument("--calibration_images", dest="calibration_images",
                         type=int, default=4,
                         help="inputs used for int8 activation-range calibration "

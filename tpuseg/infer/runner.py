@@ -67,7 +67,15 @@ class InferenceConfig:
     # first `calibration_images` inputs; masks are near-identical to fp
     # (argmax-stable away from decision boundaries), measured in BASELINE.md.
     # "int8_blocked" additionally runs the C=64 edge stages space-to-depth-
-    # blocked on dense (H/2, W/2, 4C) tensors (quant.py blocking section)
+    # blocked on dense (H/2, W/2, 4C) tensors (quant.py blocking section).
+    # "int8_auto" picks per dispatch path from the measured round-5 serving
+    # matrix (BASELINE.md): blocked for halo-tiled images (it won at every
+    # geometry measured, 2048²-4096², both tile choices, +7-13% over dense
+    # int8) and dense int8 for the batched small-image path (blocking lost
+    # there, 72.7 vs 78.9 img/s at 256²: s2d overhead isn't amortized on
+    # sub-tile shapes). All three modes produce identical masks (the blocked
+    # path is arithmetically the same quantized network, pinned bitwise in
+    # test_quant.py), so the choice is purely a throughput dispatch.
     quantize: str = "none"
     calibration_images: int = 4
     # host identity for multi-host folder striping (None = ask jax);
@@ -224,23 +232,38 @@ def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
     slides skip their second full-slide stats scan, in-RAM images skip the
     re-decode (up to ``_CALIB_CACHE_BYTES`` total).
 
+    Returns ``(tiled_fn, small_fn, calib_cache)``: the predict_fn for the
+    halo-tiled/streaming dispatch and the one for the batched small-image
+    dispatch. They are the same object except under ``int8_auto``, which
+    serves tiled images blocked and small batches dense per the measured
+    serving matrix (BASELINE.md round 5) — one calibration feeds both
+    engines, so scales (and therefore masks) are identical either way.
+
     ``cfg.calibration_in`` short-circuits everything: the persisted scales
     load, zero calibration forwards run, and the cache is empty."""
-    if cfg.quantize not in ("int8", "int8_blocked"):
+    if cfg.quantize not in ("int8", "int8_blocked", "int8_auto"):
         raise ValueError(f'unknown quantize mode "{cfg.quantize}" '
-                         '(use "none", "int8" or "int8_blocked")')
+                         '(use "none", "int8", "int8_blocked" or "int8_auto")')
     from tpuseg.infer import quant
     from tpuseg.utils.bigtiff import BigTiffReader
 
-    blocked = cfg.quantize == "int8_blocked"
+    def _fns(folded, ranges):
+        def build(blocked):
+            return quant.make_quantized_predict_fn(
+                folded, ranges, deconv_impl=model.deconv_impl,
+                blocked_edges=blocked)
+
+        if cfg.quantize == "int8_auto":
+            return build(True), build(False)
+        fn = build(cfg.quantize == "int8_blocked")
+        return fn, fn
+
     if cfg.calibration_in:
         ranges = quant.load_act_ranges(cfg.calibration_in)
         print(f"quantize={cfg.quantize}: loaded calibration scales from "
               f"{cfg.calibration_in} (skipping calibration)")
-        predict_fn = quant.make_quantized_predict_fn(
-            quant.fold_variables(variables), ranges,
-            deconv_impl=model.deconv_impl, blocked_edges=blocked)
-        return predict_fn, {}
+        tiled_fn, small_fn = _fns(quant.fold_variables(variables), ranges)
+        return tiled_fn, small_fn, {}
 
     raw = []  # (central crop <= _CALIB_MAX_DIM, whole-image mean, std)
     calib_cache: dict = {}
@@ -299,9 +322,8 @@ def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
         quant.save_act_ranges(cfg.calibration_out, ranges,
                               percentile=cfg.calibration_percentile)
         print(f"wrote calibration scales to {cfg.calibration_out}")
-    predict_fn = quant.make_quantized_predict_fn(
-        folded, ranges, deconv_impl=model.deconv_impl, blocked_edges=blocked)
-    return predict_fn, calib_cache
+    tiled_fn, small_fn = _fns(folded, ranges)
+    return tiled_fn, small_fn, calib_cache
 
 
 def _group_size(cfg: InferenceConfig, mesh) -> int:
@@ -370,12 +392,12 @@ def inference(cfg: InferenceConfig) -> List[str]:
     # validate before any side effects: argparse guards the CLI but library
     # callers can pass any string, and an empty image folder used to let a
     # bad mode silently return [] (review r3)
-    if cfg.quantize not in ("none", "int8", "int8_blocked"):
+    if cfg.quantize not in ("none", "int8", "int8_blocked", "int8_auto"):
         raise ValueError(f'unknown quantize mode "{cfg.quantize}" '
-                         '(use "none", "int8" or "int8_blocked")')
+                         '(use "none", "int8", "int8_blocked" or "int8_auto")')
     if cfg.quantize == "none" and (cfg.calibration_in or cfg.calibration_out):
         raise ValueError("calibration_in/calibration_out require "
-                         'quantize="int8" or "int8_blocked"')
+                         'quantize="int8", "int8_blocked" or "int8_auto"')
     if cfg.calibration_in and cfg.calibration_out:
         raise ValueError("calibration_in skips calibration, so there are no "
                          "fresh scales for calibration_out — pass one or the "
@@ -419,9 +441,9 @@ def inference(cfg: InferenceConfig) -> List[str]:
         # empty stripe/folder: nothing to predict, so nothing to calibrate
         # for — keep the fp path's return-[] contract instead of paying (or
         # failing) calibration
-        predict_fn = make_predict_fn(model, variables)
+        predict_fn = small_predict_fn = make_predict_fn(model, variables)
     else:
-        predict_fn, calib_cache = _quantized_predict_fn(
+        predict_fn, small_predict_fn, calib_cache = _quantized_predict_fn(
             cfg, model, variables, global_filepath_list)
         # the reuse cache only helps for images THIS host will segment;
         # drop the rest so their decoded buffers free immediately
@@ -458,7 +480,7 @@ def inference(cfg: InferenceConfig) -> List[str]:
         if not small_buf:
             return
         masks = inference_single_batch(
-            [im for _, im, _ in small_buf], predict_fn, cfg.batch_size,
+            [im for _, im, _ in small_buf], small_predict_fn, cfg.batch_size,
             mesh=mesh, stats=[st for _, _, st in small_buf])
         for (p, _, _), mask in zip(small_buf, masks):
             _save(mask, p)

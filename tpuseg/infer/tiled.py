@@ -43,7 +43,15 @@ def max_auto_tile(per_device_batch: int) -> int:
     fit, 8 x 2048^2 OOMs the compile on a v5e); a larger batch must shrink
     the tile so batch x tile^2 stays inside the same measured envelope.
     Smaller batches do NOT raise the cap — 1536 is the largest validated
-    tile, and activation memory is not perfectly linear in batch."""
+    tile, and activation memory is not perfectly linear in batch.
+
+    The cap is deliberately shared by the int8 engines even though their
+    smaller activations FIT bigger tiles (measured round 5: int8_blocked
+    tiles 1792 and 2048 both compile and run at 4096^2/batch 8) — they run
+    strictly slower (60.8 / 45.9 vs 80.1 MP/s at tile 1216) because a
+    9-tile cover's batch-1 remainder pads to the 8-sublane group, ~2x slot
+    inflation that the shrinking halo share never repays. Measured
+    rejection; see BASELINE.md round-5 envelope probe before re-raising."""
     budget = 8 * MAX_AUTO_TILE * MAX_AUTO_TILE  # per-device pixels, measured
     cap = int((budget / max(1, per_device_batch)) ** 0.5)
     return min(MAX_AUTO_TILE, cap // SIZE_FACTOR * SIZE_FACTOR)
