@@ -109,6 +109,9 @@ def _require_live_backend(metric: str, unit: str,
         alive = _subprocess_probe(
             min(timeout_s, max(1.0, deadline - time.monotonic())))
 
+    reason = ("trivial device op did not complete within a "
+              f"{budget_s:.0f}s retry budget (tunnel down; see CLAUDE.md "
+              "environment quirks; budget via TPUSEG_BENCH_WAIT)")
     if alive:
         done = threading.Event()
 
@@ -121,16 +124,19 @@ def _require_live_backend(metric: str, unit: str,
                          name="tpuseg-bench-probe").start()
         if done.wait(timeout_s):
             return
+        # distinct failure mode: fresh subprocesses reach the chip but THIS
+        # process's backend init wedged — name it accurately so triage
+        # doesn't chase tunnel weather (review r5)
+        reason = ("subprocess probe succeeded but this process's backend "
+                  f"init did not complete within {timeout_s:.0f}s "
+                  "(in-process init hang, not tunnel-down)")
 
     print(json.dumps({
         "metric": metric,
         "value": 0.0,
         "unit": unit,
         "vs_baseline": 0.0,
-        "error": "TPU backend unreachable: trivial device op did not "
-                 f"complete within a {budget_s:.0f}s retry budget "
-                 "(tunnel down; see CLAUDE.md environment quirks; "
-                 "budget via TPUSEG_BENCH_WAIT)",
+        "error": f"TPU backend unreachable: {reason}",
     }), flush=True)
     os._exit(1)
 
@@ -494,7 +500,8 @@ def bench_stream(hw: int = 8192):
         mean, std = stats
         safe_std = np.where(np.asarray(std) <= 1.0, 1.0, std)
         with BigTiffReader(slide) as reader:
-            crop = reader.read_region((hw - 512) // 2, (hw - 512) // 2,
+            crop = reader.read_region(max(0, (hw - 512) // 2),
+                                      max(0, (hw - 512) // 2),
                                       min(512, hw), min(512, hw))
         crop = (crop.astype(np.float32) - mean) / safe_std
         qpredict = quantized_predict_from_checkpoint(
@@ -642,9 +649,13 @@ def bench_infer_matrix():
             print(f"# envelope int8_blocked tile {tile}: failed "
                   f"({type(e).__name__})", file=sys.stderr, flush=True)
 
+    # headline key built from the COMPUTED auto tile, not a hardcoded
+    # "auto1216": a choose_tile_size default change would otherwise shift
+    # the key and silently zero the round's official value (review r5)
+    headline = f"4096_auto{choose_tile_size(4096, 4096, 96)}_int8_blocked"
     print(json.dumps({
         "metric": "unet_serving_mode_matrix",
-        "value": matrix.get("4096_auto1216_int8_blocked", 0.0),
+        "value": matrix.get(headline, 0.0),
         "unit": "MP/sec/chip",
         "vs_baseline": 0.0,
         "matrix_MP_per_sec": matrix,

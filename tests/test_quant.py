@@ -418,3 +418,24 @@ def test_head_mode_env_reread_and_forced_pallas_warns(monkeypatch, capsys):
     # within the envelope: forced pallas stays silent
     assert head_kernel.head_kernel_eligible(2)
     assert capsys.readouterr().out == ""
+
+
+def test_act_ranges_load_warns_on_percentile_mismatch(tmp_path, capsys):
+    """--calibration_in silently supersedes --calibration_percentile; the
+    load warns when the file's recorded percentile differs from the
+    configured one, and stays quiet when they agree (review r5)."""
+    from tpuseg.infer.quant import INPUT_TAP, load_act_ranges, save_act_ranges
+
+    ranges = {k: 1.0 for k in ALL_BLOCKS + (INPUT_TAP,)}
+    p = str(tmp_path / "cal.json")
+    save_act_ranges(p, ranges, percentile=99.9)
+
+    capsys.readouterr()
+    assert load_act_ranges(p, expect_percentile=100.0) == ranges
+    assert "calibrated at percentile 99.9" in capsys.readouterr().out
+
+    assert load_act_ranges(p, expect_percentile=99.9) == ranges
+    assert "calibrated at percentile" not in capsys.readouterr().out
+    # no expectation passed -> no warning either
+    assert load_act_ranges(p) == ranges
+    assert "calibrated at percentile" not in capsys.readouterr().out

@@ -153,3 +153,38 @@ def test_resume_reused_output_dir_prefers_checkpoint_side_history(
     # the checkpoint-side 2-epoch history carried over, not the stale 3-epoch
     assert len(r2.test_loss) == 3
     assert r2.test_loss[:2] == pytest.approx(r1.test_loss)
+
+
+def test_resume_missing_checkpoint_side_history_warns_on_outdir_csv(
+        dbs, tmp_path, capsys):
+    """Out-of-dir resume where NO csv exists beside the checkpoint but the
+    reused output dir holds one: the fallback adoption must warn — a stale
+    csv from an unrelated run would otherwise silently pin best-checkpoint
+    selection and early-stopping patience to bogus losses (review r5)."""
+    import os
+
+    train_db, test_db = dbs
+    base = dict(
+        train_database=train_db, test_database=test_db,
+        batch_size=1, test_every_n_steps=2, early_stopping_count=10,
+        use_augmentation=False, device_augment=False, dtype="float32",
+        base_features=2, seed=0,
+    )
+    out1 = str(tmp_path / "orig")
+    r1 = train_model(TrainConfig(output_folder=out1, max_epochs=2, **base))
+    os.remove(os.path.join(out1, "test_loss.csv"))  # e.g. only ckpt/ copied
+
+    out2 = str(tmp_path / "reused")
+    os.makedirs(out2)
+    with open(os.path.join(out2, "test_loss.csv"), "w") as f:
+        f.write("0.5\n0.4\n")
+
+    capsys.readouterr()
+    r2 = train_model(TrainConfig(output_folder=out2, max_epochs=3,
+                                 resume_checkpoint=r1.checkpoint_path, **base))
+    out = capsys.readouterr().out
+    assert "no test_loss.csv beside the resume checkpoint" in out
+    assert "UNRELATED" in out
+    # the out-dir csv is still adopted (it may be legitimate — the warning,
+    # not a refusal, is the contract)
+    assert len(r2.test_loss) == 3

@@ -167,3 +167,21 @@ def test_control_flow_span_opcode_parsing():
     # tuple-shape parse does not mistake the shape for the opcode
     assert not is_control_flow_span(
         "%fusion.4 = (f32[2], f32[3]) fusion(%a, %b)")
+
+
+def test_control_flow_span_with_layout_annotated_shape():
+    """TPU shapes can carry layout annotations that EMBED parentheses in
+    the whitespace-free shape token (``f32[8]{0:T(8,128)}``); the opcode
+    must still be found as the token after the shape, so a renamed while
+    stays excluded and a fusion with such a shape stays included
+    (review r5)."""
+    from tpuseg.utils.trace_analysis import is_control_flow_span
+
+    assert is_control_flow_span(
+        "%scan_loop = f32[8]{0:T(8,128)} while(%init)")
+    assert is_control_flow_span(
+        "%body = (s32[], f32[8]{0:T(8,128)}) while(%cond)")
+    assert not is_control_flow_span(
+        "%fusion.9 = f32[8]{0:T(8,128)} fusion(%a)")
+    assert not is_control_flow_span(
+        "%while_like = f32[8]{0:T(8,128)S(1)} fusion(%a)")

@@ -425,22 +425,48 @@ def save_act_ranges(path: str, act_ranges: Dict[str, float],
     (``--calibration_out`` / ``--calibration_in`` on the inference CLI) and
     skip the calibration forward passes entirely; audits can diff scale
     drift between checkpoints.  The file is one flat ``{block: range}``
-    dict plus provenance (format tag, the percentile that produced it)."""
+    dict plus provenance (format tag, the percentile that produced it).
+
+    The write is atomic (temp file + ``os.replace``): every host of a
+    ``--multihost`` fleet calibrates identically and may hand the SAME
+    shared-folder path to ``--calibration_out``, so concurrent writers (or
+    a host killed mid-dump) must never leave a torn file that a later
+    ``--calibration_in`` run rejects (review r5)."""
     import json
+    import os
+    import tempfile
 
-    with open(path, "w") as f:
-        json.dump({
-            "format": _CALIBRATION_FORMAT,
-            "percentile": percentile,
-            "act_ranges": {k: float(v) for k, v in act_ranges.items()},
-        }, f, indent=2, sort_keys=True)
-        f.write("\n")
+    doc = json.dumps({
+        "format": _CALIBRATION_FORMAT,
+        "percentile": percentile,
+        "act_ranges": {k: float(v) for k, v in act_ranges.items()},
+    }, indent=2, sort_keys=True) + "\n"
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(path)) or ".",
+        prefix=os.path.basename(path) + ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(doc)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
-def load_act_ranges(path: str) -> Dict[str, float]:
+def load_act_ranges(path: str,
+                    expect_percentile: Optional[float] = None
+                    ) -> Dict[str, float]:
     """Inverse of :func:`save_act_ranges`; validates the format tag and the
     block-name key set so a stale file from a different model topology fails
-    loudly here instead of as a KeyError deep inside the traced walk."""
+    loudly here instead of as a KeyError deep inside the traced walk.
+
+    ``expect_percentile``: the run's configured ``--calibration_percentile``.
+    Loaded scales embed the percentile that PRODUCED them, so a differing
+    configured value would otherwise be silently ignored — warn instead
+    (review r5)."""
     import json
 
     with open(path) as f:
@@ -449,6 +475,13 @@ def load_act_ranges(path: str) -> Dict[str, float]:
         raise ValueError(
             f"{path} is not a tpuseg int8 calibration file "
             f'(expected format tag "{_CALIBRATION_FORMAT}")')
+    saved_pct = doc.get("percentile")
+    if (expect_percentile is not None and saved_pct is not None
+            and float(saved_pct) != float(expect_percentile)):
+        print(f"WARNING: {path} was calibrated at percentile {saved_pct}; "
+              f"the configured --calibration_percentile {expect_percentile} "
+              "is ignored when loading persisted scales — recalibrate "
+              "without --calibration_in to change the clip recipe")
     ranges = {k: float(v) for k, v in doc["act_ranges"].items()}
     expected = set(CONV_BLOCKS) | set(DECONV_BLOCKS) | {INPUT_TAP}
     missing = expected - set(ranges)

@@ -226,18 +226,16 @@ def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
     own stats). All crops share one canonical shape so calibration costs a
     single compile.
 
-    Returns ``(predict_fn, calib_cache)`` where ``calib_cache`` maps each
-    calibration path to ``(decoded image or None, (mean, std))`` so the
-    inference pass reuses the work calibration already paid: streaming
-    slides skip their second full-slide stats scan, in-RAM images skip the
-    re-decode (up to ``_CALIB_CACHE_BYTES`` total).
-
     Returns ``(tiled_fn, small_fn, calib_cache)``: the predict_fn for the
     halo-tiled/streaming dispatch and the one for the batched small-image
     dispatch. They are the same object except under ``int8_auto``, which
     serves tiled images blocked and small batches dense per the measured
     serving matrix (BASELINE.md round 5) — one calibration feeds both
     engines, so scales (and therefore masks) are identical either way.
+    ``calib_cache`` maps each calibration path to ``(decoded image or None,
+    (mean, std))`` so the inference pass reuses the work calibration
+    already paid: streaming slides skip their second full-slide stats scan,
+    in-RAM images skip the re-decode (up to ``_CALIB_CACHE_BYTES`` total).
 
     ``cfg.calibration_in`` short-circuits everything: the persisted scales
     load, zero calibration forwards run, and the cache is empty."""
@@ -259,7 +257,8 @@ def _quantized_predict_fn(cfg: InferenceConfig, model, variables,
         return fn, fn
 
     if cfg.calibration_in:
-        ranges = quant.load_act_ranges(cfg.calibration_in)
+        ranges = quant.load_act_ranges(
+            cfg.calibration_in, expect_percentile=cfg.calibration_percentile)
         print(f"quantize={cfg.quantize}: loaded calibration scales from "
               f"{cfg.calibration_in} (skipping calibration)")
         tiled_fn, small_fn = _fns(quant.fold_variables(variables), ranges)
@@ -441,6 +440,19 @@ def inference(cfg: InferenceConfig) -> List[str]:
         # empty stripe/folder: nothing to predict, so nothing to calibrate
         # for — keep the fp path's return-[] contract instead of paying (or
         # failing) calibration
+        if cfg.quantize != "none" and not img_filepath_list:
+            # but say so: a --calibration_out user expects the scales file
+            # to exist afterwards, and a silent skip surfaces much later as
+            # a FileNotFoundError on the follow-up --calibration_in run
+            # (review r5)
+            skipped = (f"; requested --calibration_out "
+                       f"{cfg.calibration_out} was NOT written by this host"
+                       if cfg.calibration_out else "")
+            why = (f"this host's stripe of {len(global_filepath_list)} "
+                   "images is empty" if global_filepath_list else
+                   f"no images matched --image_format {cfg.image_format} "
+                   f"in {cfg.image_folder}")
+            print(f"WARNING: {why} — int8 calibration skipped{skipped}")
         predict_fn = small_predict_fn = make_predict_fn(model, variables)
     else:
         predict_fn, small_predict_fn, calib_cache = _quantized_predict_fn(

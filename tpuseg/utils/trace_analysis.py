@@ -33,9 +33,12 @@ _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter", "collective-permut
 
 def _hlo_opcode(rhs: str) -> str:
     """The opcode token of an HLO definition's right-hand side — the word
-    immediately before the operand parenthesis, after skipping a possibly
-    parenthesized tuple shape: ``(s32[], f32[8]) while(%cond, ...)`` ->
-    ``while``; ``f32[8]{0} fusion(...)`` -> ``fusion``."""
+    immediately before the operand parenthesis, after skipping the result
+    shape: ``(s32[], f32[8]) while(%cond, ...)`` -> ``while``;
+    ``f32[8]{0} fusion(...)`` -> ``fusion``.  The shape is skipped
+    structurally, not by splitting on ``(``: a TPU layout annotation embeds
+    parentheses in a whitespace-free token (``f32[8]{0:T(8,128)}``), so the
+    opcode is the first token AFTER the shape token (review r5)."""
     rhs = rhs.strip()
     if rhs.startswith("("):  # tuple shape: skip to its matching close paren
         depth = 0
@@ -47,8 +50,13 @@ def _hlo_opcode(rhs: str) -> str:
                 if depth == 0:
                     rhs = rhs[i + 1:].lstrip()
                     break
-    head = rhs.split("(", 1)[0].strip()
-    return head.split()[-1] if head else ""
+        return rhs.split("(", 1)[0].strip()
+    # array/scalar shape: one whitespace-free token (layouts included),
+    # then the opcode, possibly abutting its operand parenthesis
+    parts = rhs.split(None, 1)
+    if len(parts) < 2:
+        return ""
+    return parts[1].split("(", 1)[0].strip()
 
 
 def is_control_flow_span(name: str) -> bool:
