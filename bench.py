@@ -71,6 +71,49 @@ def _subprocess_probe(timeout_s: float) -> bool:
         return False
 
 
+def _inprocess_probe() -> None:
+    """One trivial device op with value readback in THIS process (the only
+    true sync on the tunneled backend — CLAUDE.md)."""
+    import jax.numpy as jnp
+    float(jnp.ones(()) + 1.0)
+
+
+def _relaunch_in_fresh_process(deadline: float) -> None:
+    """Last-resort recovery when THIS process's backend init wedges while
+    fresh subprocesses reach the chip just fine (observed live, round 5:
+    the subprocess probe answered in seconds but the in-process init hung
+    past 180s under heavy host load). jax backend init is process-global —
+    it cannot be retried in this process — but the whole bench can: re-run
+    ``sys.argv`` in a fresh process, which gets a clean backend, and exit
+    with its status (the child prints the one JSON line to our inherited
+    stdout; no pipes, for the helper-process reason in _subprocess_probe).
+
+    Bounded two ways so the chain cannot loop: ``TPUSEG_BENCH_ATTEMPT``
+    caps relaunches at 3, and the child's ``TPUSEG_BENCH_WAIT`` is set to
+    the budget REMAINING here, so the total wall clock stays inside the
+    original budget. Declines (returns) when out of attempts/budget or when
+    not running as bench.py (e.g. under pytest — a test must never respawn
+    the test runner)."""
+    import os
+    import subprocess
+
+    attempt = int(os.environ.get("TPUSEG_BENCH_ATTEMPT", "0"))
+    remaining = deadline - time.monotonic()
+    if (attempt >= 3 or remaining < 60.0
+            or not os.path.basename(sys.argv[0]).endswith("bench.py")):
+        return
+    print("# bench: in-process backend init wedged but fresh processes "
+          f"reach the chip; relaunching in a fresh process (attempt "
+          f"{attempt + 1}/3, {remaining:.0f}s of budget left)",
+          file=sys.stderr, flush=True)
+    child = subprocess.run(
+        [sys.executable] + sys.argv,
+        env=dict(os.environ,
+                 TPUSEG_BENCH_ATTEMPT=str(attempt + 1),
+                 TPUSEG_BENCH_WAIT=str(max(60.0, remaining))))
+    os._exit(child.returncode)
+
+
 def _require_live_backend(metric: str, unit: str,
                           timeout_s: float = 180.0) -> None:
     """Wait (bounded) for the tunneled TPU backend instead of hanging OR
@@ -86,8 +129,11 @@ def _require_live_backend(metric: str, unit: str,
     driver's patience); emit the self-describing JSON error line and exit
     1 only after the whole budget is spent. After a subprocess probe
     succeeds, one in-process gate (thread + value readback) confirms THIS
-    process can reach the device before the expensive compiles start;
-    ``os._exit`` on its failure because a thread stuck inside a C call
+    process can reach the device before the expensive compiles start; if
+    THAT wedges (process-local init hang — seen once in the wild) the
+    bench relaunches itself in a fresh process within the same budget
+    (_relaunch_in_fresh_process) rather than zeroing the artifact.
+    ``os._exit`` on final failure because a thread stuck inside a C call
     would block normal interpreter shutdown."""
     import os
     import threading
@@ -116,8 +162,7 @@ def _require_live_backend(metric: str, unit: str,
         done = threading.Event()
 
         def _probe():
-            import jax.numpy as jnp
-            float(jnp.ones(()) + 1.0)  # value readback: the only true sync
+            _inprocess_probe()
             done.set()
 
         threading.Thread(target=_probe, daemon=True,
@@ -125,11 +170,14 @@ def _require_live_backend(metric: str, unit: str,
         if done.wait(timeout_s):
             return
         # distinct failure mode: fresh subprocesses reach the chip but THIS
-        # process's backend init wedged — name it accurately so triage
-        # doesn't chase tunnel weather (review r5)
+        # process's backend init wedged (review r5) — recover by relaunching
+        # the bench in a fresh process (exits with the child's status), or
+        # fall through to the error line if out of attempts/budget
+        _relaunch_in_fresh_process(deadline)
         reason = ("subprocess probe succeeded but this process's backend "
                   f"init did not complete within {timeout_s:.0f}s "
-                  "(in-process init hang, not tunnel-down)")
+                  "(in-process init hang, not tunnel-down; fresh-process "
+                  "relaunch declined or exhausted)")
 
     # the outage line still carries the last builder-measured battery (with
     # its provenance) so a scoreboard reader is never information-free —

@@ -94,3 +94,108 @@ def test_backend_probe_retries_through_transient_outage(monkeypatch):
     bench._require_live_backend("m", "u", timeout_s=60.0)
     assert len(attempts) == 3
     assert sleeps and all(s <= 60.0 for s in sleeps)
+
+
+def test_inprocess_hang_triggers_fresh_process_relaunch(monkeypatch):
+    """Round-5 live failure: the subprocess probe answered but THIS
+    process's backend init hung past the gate, and bench zeroed the
+    artifact with 25 min of budget unspent. The gate must instead hand the
+    run to _relaunch_in_fresh_process (a fresh process gets a clean
+    backend init)."""
+    import time as _time
+
+    import pytest
+
+    calls = []
+    monkeypatch.setenv("TPUSEG_BENCH_WAIT", "600")
+    monkeypatch.setattr(bench, "_subprocess_probe", lambda t: True)
+    monkeypatch.setattr(bench, "_inprocess_probe",
+                        lambda: _time.sleep(30))  # wedged init
+    def _relaunch(deadline):
+        calls.append(deadline)
+        raise SystemExit(0)  # the real one os._exit()s with the child's rc
+
+    monkeypatch.setattr(bench, "_relaunch_in_fresh_process", _relaunch)
+    with pytest.raises(SystemExit):
+        bench._require_live_backend("m", "u", timeout_s=0.2)
+    assert len(calls) == 1
+    assert calls[0] > _time.monotonic()  # handed the live deadline
+
+
+def test_inprocess_hang_error_line_when_relaunch_declined(monkeypatch,
+                                                          capsys):
+    """If the relaunch declines (attempt cap / budget / not bench.py), the
+    gate still emits the self-describing error line naming the in-process
+    failure mode — never a silent hang."""
+    import json
+    import os
+    import time as _time
+
+    import pytest
+
+    monkeypatch.setenv("TPUSEG_BENCH_WAIT", "600")
+    monkeypatch.setattr(bench, "_subprocess_probe", lambda t: True)
+    monkeypatch.setattr(bench, "_inprocess_probe", lambda: _time.sleep(30))
+    monkeypatch.setattr(bench, "_relaunch_in_fresh_process",
+                        lambda deadline: None)
+    monkeypatch.setattr(os, "_exit",
+                        lambda code: (_ for _ in ()).throw(SystemExit(code)))
+    with pytest.raises(SystemExit) as e:
+        bench._require_live_backend("m", "u", timeout_s=0.2)
+    assert e.value.code == 1
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["value"] == 0.0
+    assert "in-process init hang" in rec["error"]
+
+
+def test_relaunch_declines_outside_bench_and_when_capped(monkeypatch):
+    """Never respawn the test runner (argv[0] is pytest here), and never
+    loop past the attempt cap."""
+    import time as _time
+
+    # under pytest: declines on argv alone, even with budget + attempts
+    monkeypatch.delenv("TPUSEG_BENCH_ATTEMPT", raising=False)
+    assert bench._relaunch_in_fresh_process(_time.monotonic() + 600) is None
+
+    # as bench.py but out of attempts
+    import sys as _sys
+    monkeypatch.setattr(_sys, "argv", ["bench.py"])
+    monkeypatch.setenv("TPUSEG_BENCH_ATTEMPT", "3")
+    assert bench._relaunch_in_fresh_process(_time.monotonic() + 600) is None
+
+    # as bench.py but out of budget
+    monkeypatch.setenv("TPUSEG_BENCH_ATTEMPT", "0")
+    assert bench._relaunch_in_fresh_process(_time.monotonic() + 10) is None
+
+
+def test_relaunch_spawns_fresh_bench_with_remaining_budget(monkeypatch):
+    """The child is the same bench argv with the attempt counter bumped and
+    TPUSEG_BENCH_WAIT rewritten to the REMAINING budget, and the parent
+    exits with the child's status."""
+    import os
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    import pytest
+
+    rec = {}
+
+    class _Child:
+        returncode = 7
+
+    def _fake_run(cmd, env=None):
+        rec["cmd"], rec["env"] = cmd, env
+        return _Child()
+
+    monkeypatch.setattr(_sys, "argv", ["bench.py", "--infer"])
+    monkeypatch.delenv("TPUSEG_BENCH_ATTEMPT", raising=False)
+    monkeypatch.setattr(subprocess, "run", _fake_run)
+    monkeypatch.setattr(os, "_exit",
+                        lambda code: (_ for _ in ()).throw(SystemExit(code)))
+    with pytest.raises(SystemExit) as e:
+        bench._relaunch_in_fresh_process(_time.monotonic() + 300)
+    assert e.value.code == 7
+    assert rec["cmd"] == [_sys.executable, "bench.py", "--infer"]
+    assert rec["env"]["TPUSEG_BENCH_ATTEMPT"] == "1"
+    assert 240 <= float(rec["env"]["TPUSEG_BENCH_WAIT"]) <= 300
