@@ -24,6 +24,24 @@ V100_TF2_BASELINE_IMG_PER_SEC = 10.0  # analytic estimate, see BASELINE.md
 V5E_BF16_PEAK_TFLOPS = 197.0  # TPU v5e per-chip bf16 peak
 
 
+def _orphan_watchdog(parent_pid: int) -> str:
+    """Code preamble for detached children: self-terminate when orphaned,
+    even while the main thread is wedged inside a C call (a daemon thread
+    stays scheduled). The expected parent pid is BAKED IN by the caller —
+    a child that reads ``os.getppid()`` itself races its parent's exit:
+    the site hook pre-imports jax into every python process (CLAUDE.md),
+    so child startup is slow enough for a fast-exiting parent to have
+    already reparented it, freezing the wrong baseline."""
+    return (
+        "import os, threading, time\n"
+        f"_ppid0 = {int(parent_pid)}\n"
+        "def _orphan_watch():\n"
+        "    while os.getppid() == _ppid0:\n"
+        "        time.sleep(5.0)\n"
+        "    os._exit(1)\n"
+        "threading.Thread(target=_orphan_watch, daemon=True).start()\n")
+
+
 def _subprocess_probe(timeout_s: float) -> bool:
     """Run one trivial device op in a FRESH python subprocess.
 
@@ -41,7 +59,16 @@ def _subprocess_probe(timeout_s: float) -> bool:
     # process, ignoring the JAX_PLATFORMS env var (CLAUDE.md); apply it via
     # the config API so the probe targets the same backend the caller will
     # (prod: unset -> real TPU; tests: cpu -> the probe stays hermetic).
-    code = ("import os, jax\n"
+    # The watchdog preamble guards the other kill direction: the probe runs
+    # detached (own session, so OUR timeout-kill reaches tunnel helpers),
+    # which means a kill of bench ITSELF (driver patience, shell timeout)
+    # orphans a probe wedged inside the tunnel's C call — observed live,
+    # round 5: the orphan kept polling the tunnel indefinitely. A daemon
+    # thread (still scheduled while the main thread is stuck in C) exits
+    # the probe as soon as its parent changes (reparented to init /
+    # subreaper).
+    code = (_orphan_watchdog(os.getpid()) +
+            "import jax\n"
             "p = os.environ.get('JAX_PLATFORMS')\n"
             "if p: jax.config.update('jax_platforms', p)\n"
             "import jax.numpy as jnp\n"

@@ -199,3 +199,49 @@ def test_relaunch_spawns_fresh_bench_with_remaining_budget(monkeypatch):
     assert rec["cmd"] == [_sys.executable, "bench.py", "--infer"]
     assert rec["env"]["TPUSEG_BENCH_ATTEMPT"] == "1"
     assert 240 <= float(rec["env"]["TPUSEG_BENCH_WAIT"]) <= 300
+
+
+def test_orphan_watchdog_kills_reparented_probe(tmp_path):
+    """A bench kill mid-probe must not leak the detached probe subprocess
+    (observed live, round 5: the orphan kept polling the tunnel forever).
+    Spawn an intermediate parent that launches a watchdog-wrapped child
+    then exits immediately; the orphaned child must self-terminate within
+    a couple of watchdog periods instead of sleeping out its 60s body."""
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    pidfile = tmp_path / "child.pid"
+    repo_root = os.path.dirname(os.path.abspath(bench.__file__))
+    # the intermediate parent bakes ITS pid into the watchdog (the bench
+    # contract: a child that samples getppid() itself races a fast parent
+    # exit — the site hook's jax pre-import makes child startup slow)
+    parent_code = (
+        "import os, subprocess, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "code = bench._orphan_watchdog(os.getpid()) + "
+        "'import time\\ntime.sleep(60)\\n'\n"
+        "p = subprocess.Popen([sys.executable, '-c', code],\n"
+        "                     start_new_session=True)\n"
+        "open(%r, 'w').write(str(p.pid))\n"
+        % (repo_root, str(pidfile)))
+    subprocess.run([sys.executable, "-c", parent_code], check=True,
+                   timeout=30)  # exits at once, orphaning the child
+    pid = int(pidfile.read_text())
+
+    def alive(p):
+        try:
+            os.kill(p, 0)
+            return True
+        except ProcessLookupError:
+            return False
+
+    deadline = _time.monotonic() + 20.0
+    while alive(pid) and _time.monotonic() < deadline:
+        _time.sleep(0.5)
+    leaked = alive(pid)
+    if leaked:
+        os.kill(pid, 9)  # don't leave the 60s sleeper behind on failure
+    assert not leaked, "orphaned probe child outlived its parent"
